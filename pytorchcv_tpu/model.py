@@ -1,0 +1,116 @@
+"""The user-facing Model handle.
+
+``get_model(name)`` returns a :class:`Model` — an immutable bundle of
+(linen module, variables) with convenience methods. The functional pieces
+(``module``, ``variables``, ``apply``) stay exposed so power users can jit /
+shard / transform freely; ``__call__`` is a pre-jitted inference path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import FrozenDict
+
+
+def _leaf_count(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+@dataclasses.dataclass
+class Model:
+    """A constructed zoo model: linen module + (optionally) variables."""
+
+    name: str
+    module: nn.Module
+    variables: Optional[Dict[str, Any]] = None
+
+    @property
+    def in_size(self) -> Tuple[int, int]:
+        return tuple(getattr(self.module, "in_size", (224, 224)))
+
+    @property
+    def in_channels(self) -> int:
+        return int(getattr(self.module, "in_channels", 3))
+
+    @property
+    def num_classes(self) -> int:
+        return int(getattr(self.module, "num_classes", 0))
+
+    def dummy_input(self, batch: int = 1, dtype=jnp.float32):
+        h, w = self.in_size
+        return jnp.zeros((batch, h, w, self.in_channels), dtype)
+
+    def init(self, rng: int | jax.Array = 0, batch: int = 1,
+             dtype=jnp.float32) -> "Model":
+        """Materialize variables (jitted so init compiles once)."""
+        if isinstance(rng, int):
+            rng = jax.random.PRNGKey(rng)
+        x = self.dummy_input(batch, dtype)
+        variables = jax.jit(functools.partial(self.module.init, train=False))(
+            rng, x)
+        return dataclasses.replace(self, variables=variables)
+
+    def shape_variables(self, batch: int = 1):
+        """Variable *shapes* via jax.eval_shape — no FLOPs executed."""
+        rng = jax.random.PRNGKey(0)
+        x = jax.ShapeDtypeStruct((batch, *self.in_size, self.in_channels),
+                                 jnp.float32)
+        return jax.eval_shape(
+            functools.partial(self.module.init, train=False), rng, x)
+
+    def eval_output_shape(self, batch: int = 1, variables=None):
+        """Output ShapeDtypeStruct(s) via jax.eval_shape."""
+        if variables is None:
+            variables = self.variables or self.shape_variables(batch)
+        x = jax.ShapeDtypeStruct((batch, *self.in_size, self.in_channels),
+                                 jnp.float32)
+        return jax.eval_shape(
+            functools.partial(self.module.apply, train=False), variables, x)
+
+    def num_params(self) -> int:
+        """Trainable parameter count (torch ``calc_net_weight_count`` parity:
+        running BN stats excluded)."""
+        variables = self.variables or self.shape_variables()
+        return _leaf_count(variables.get("params", {}))
+
+    def apply(self, variables, x, train: bool = False, **kwargs):
+        if train:
+            return self.module.apply(variables, x, train=True,
+                                     mutable=["batch_stats"], **kwargs)
+        return self.module.apply(variables, x, train=False, **kwargs)
+
+    def __call__(self, x, train: bool = False):
+        assert self.variables is not None, "call .init() first"
+        if train:
+            return self.apply(self.variables, x, train=True)
+        return self._jit_infer(x)
+
+    @functools.cached_property
+    def _jit_infer(self):
+        return jax.jit(
+            lambda x: self.module.apply(self.variables, x, train=False))
+
+    def as_bfloat16(self) -> "Model":
+        """Cast floating-point variables to bfloat16 (inference policy).
+
+        BN statistics stay f32 (they only form per-channel scale/shift, but
+        keeping them f32 costs nothing and preserves accuracy headroom).
+        """
+        assert self.variables is not None
+
+        def cast(path, x):
+            if x.dtype == jnp.float32:
+                return x.astype(jnp.bfloat16)
+            return x
+
+        variables = dict(self.variables)
+        variables["params"] = jax.tree_util.tree_map_with_path(
+            cast, variables["params"])
+        return dataclasses.replace(self, variables=variables)

@@ -1,0 +1,37 @@
+"""Generic model shells.
+
+Model builder functions compose unbound linen modules (containers + blocks)
+eagerly in plain Python — outside any module scope — and wrap them in one of
+these shells. Adoption into the parameter tree happens lazily at first call,
+so the same builder code composes freely (backbone slicing, head swaps).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.base import Composed
+
+__all__ = ["ImageClassifier"]
+
+
+class ImageClassifier(Composed):
+    """features -> flatten -> output head (the reference's universal
+    classifier shape, e.g. resnet.py:266-336)."""
+
+    features: Any = None
+    output: Any = None
+    in_size: Tuple[int, int] = (224, 224)
+    in_channels: int = 3
+    num_classes: int = 1000
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = self.adopt_call(self.features, x, train=train)
+        x = x.reshape(x.shape[0], -1)
+        if self.output is not None:
+            x = self.adopt_call(self.output, x, train=train)
+        return x

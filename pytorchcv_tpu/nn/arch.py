@@ -1,0 +1,250 @@
+"""Graph containers (TPU-native analog of reference ``common/arch.py``).
+
+Containers hold pre-built, explicitly named child modules (hidden from flax
+field traversal via ``nn.base.Held``) and adopt them into their scope at call
+time, so the parameter tree mirrors reference checkpoints exactly. Data flow
+is plain function composition: XLA sees one flat graph and fuses across
+container boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .base import Composed, call_block
+
+__all__ = [
+    "Sequential", "DualPathSequential", "Concurrent", "SequentialConcurrent",
+    "ParametricSequential", "MultiOutputSequential", "ParallelConcurent",
+    "Hourglass", "SesquialteralHourglass",
+]
+
+
+class Sequential(Composed):
+    """Ordered composition of named children (modules and/or plain callables).
+
+    Mirrors torch nn.Sequential traversal; child linen names match reference
+    checkpoints. ``Sequential.layers`` slices compose (backbone surgery).
+    """
+
+    layers: Sequence[Any] = ()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cache: dict = {}
+        for layer in self.layers:
+            x = self.adopt_call(layer, x, train=train, _cache=cache)
+        return x
+
+
+class DualPathSequential(Composed):
+    """Two-stream sequential (reference arch.py:14).
+
+    The first ``first_ordinals`` and last ``last_ordinals`` children are
+    ordinary single-stream blocks; the rest take and return (x1, x2).
+    """
+
+    layers: Sequence[Any] = ()
+    return_two: bool = True
+    first_ordinals: int = 0
+    last_ordinals: int = 0
+
+    @nn.compact
+    def __call__(self, x1, x2=None, train: bool = False):
+        cache: dict = {}
+        length = len(self.layers)
+        for i, layer in enumerate(self.layers):
+            m = self.adopt(layer, cache)
+            if (i < self.first_ordinals) or (i >= length - self.last_ordinals):
+                x1 = call_block(m, x1, train=train)
+            else:
+                x1, x2 = m(x1, x2, train=train)
+        if self.return_two:
+            return x1, x2
+        return x1
+
+
+class Concurrent(Composed):
+    """Parallel branches merged by concat/stack/sum (reference arch.py:58)."""
+
+    layers: Sequence[Any] = ()
+    axis: int = -1
+    stack: bool = False
+    merge_type: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cache: dict = {}
+        merge_type = self.merge_type if self.merge_type is not None else (
+            "stack" if self.stack else "cat")
+        outs = [self.adopt_call(layer, x, train=train, _cache=cache)
+                for layer in self.layers]
+        if merge_type == "stack":
+            return jnp.stack(outs, axis=1)
+        if merge_type == "cat":
+            return jnp.concatenate(outs, axis=self.axis)
+        if merge_type == "sum":
+            out = outs[0]
+            for o in outs[1:]:
+                out = out + o
+            return out
+        raise NotImplementedError(f"Unknown merge type: {merge_type}")
+
+
+class SequentialConcurrent(Composed):
+    """Sequential with running concatenation of child outputs
+    (DenseNet-style; reference arch.py:98)."""
+
+    layers: Sequence[Any] = ()
+    axis: int = -1
+    cat_input: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cache: dict = {}
+        outs = [x] if self.cat_input else []
+        for layer in self.layers:
+            x = self.adopt_call(layer, x, train=train, _cache=cache)
+            outs.append(x)
+        return jnp.concatenate(outs, axis=self.axis)
+
+
+class ParametricSequential(Composed):
+    """Sequential whose children receive extra kwargs (reference arch.py:133)."""
+
+    layers: Sequence[Any] = ()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **kwargs):
+        cache: dict = {}
+        for layer in self.layers:
+            x = self.adopt_call(layer, x, train=train, _cache=cache, **kwargs)
+        return x
+
+
+class MultiOutputSequential(Composed):
+    """Sequential that additionally returns outputs of flagged children
+    (feature-pyramid taps; reference arch.py:309).
+
+    ``output_idx``: indices of children whose outputs are collected.
+    """
+
+    layers: Sequence[Any] = ()
+    output_idx: Sequence[int] = ()
+    multi_output: bool = True
+    dual_output: bool = False
+    return_last: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cache: dict = {}
+        outs = []
+        for i, layer in enumerate(self.layers):
+            x = self.adopt_call(layer, x, train=train, _cache=cache)
+            if i in tuple(self.output_idx):
+                outs.append(x)
+        if self.multi_output:
+            return [x] + outs if self.return_last else outs
+        if self.dual_output:
+            return x, outs[0]
+        return x
+
+
+class ParallelConcurent(Composed):
+    """Apply the i-th child to the i-th input; return list
+    (reference arch.py:350)."""
+
+    layers: Sequence[Any] = ()
+
+    @nn.compact
+    def __call__(self, xs, train: bool = False):
+        cache: dict = {}
+        return [self.adopt_call(layer, x, train=train, _cache=cache)
+                for layer, x in zip(self.layers, xs)]
+
+
+class Hourglass(Composed):
+    """Hourglass: down path, up path, skip connections (reference arch.py:168)."""
+
+    down_seq: Sequence[Any] = ()
+    up_seq: Sequence[Any] = ()
+    skip_seq: Sequence[Any] = ()
+    merge_type: str = "add"
+    return_first_skip: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cache: dict = {}
+        depth = len(self.down_seq)
+        down_outs = [x]
+        for down_module in self.down_seq:
+            x = self.adopt_call(down_module, x, train=train, _cache=cache)
+            down_outs.append(x)
+        y = None
+        for i in range(len(down_outs)):
+            if i != 0:
+                y_ = down_outs[depth - i]
+                y_ = self.adopt_call(self.skip_seq[depth - i], y_,
+                                     train=train, _cache=cache)
+                if (y_ is not None) and (self.merge_type == "cat"):
+                    x = jnp.concatenate([x, y_], axis=-1)
+                elif y_ is not None:
+                    x = x + y_
+            if i != len(down_outs) - 1:
+                if i == 0 and len(self.skip_seq) > depth:
+                    x = self.adopt_call(self.skip_seq[depth], x,
+                                        train=train, _cache=cache)
+                x = self.adopt_call(self.up_seq[depth - 1 - i], x,
+                                    train=train, _cache=cache)
+        if self.return_first_skip:
+            return x, y
+        return x
+
+
+class SesquialteralHourglass(Composed):
+    """1.5-pass hourglass (FishNet; reference arch.py:236)."""
+
+    down1_seq: Sequence[Any] = ()
+    skip1_seq: Sequence[Any] = ()
+    up_seq: Sequence[Any] = ()
+    skip2_seq: Sequence[Any] = ()
+    down2_seq: Sequence[Any] = ()
+    merge_type: str = "cat"
+
+    def _merge(self, x, y):
+        if y is not None:
+            if self.merge_type == "cat":
+                x = jnp.concatenate([x, y], axis=-1)
+            elif self.merge_type == "add":
+                x = x + y
+        return x
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cache: dict = {}
+
+        def acall(m, v):
+            return self.adopt_call(m, v, train=train, _cache=cache)
+
+        y = acall(self.skip1_seq[0], x)
+        skip1_outs = [y]
+        for i in range(len(self.down1_seq)):
+            x = acall(self.down1_seq[i], x)
+            y = acall(self.skip1_seq[i + 1], x)
+            skip1_outs.append(y)
+        x = skip1_outs[len(self.down1_seq)]
+        y = acall(self.skip2_seq[0], x)
+        skip2_outs = [y]
+        for i in range(len(self.up_seq)):
+            x = acall(self.up_seq[i], x)
+            x = self._merge(x, skip1_outs[len(self.down1_seq) - 1 - i])
+            y = acall(self.skip2_seq[i + 1], x)
+            skip2_outs.append(y)
+        x = acall(self.skip2_seq[len(self.up_seq)], x)
+        for i in range(len(self.down2_seq)):
+            x = acall(self.down2_seq[i], x)
+            x = self._merge(x, skip2_outs[len(self.down2_seq) - 1 - i])
+        return x

@@ -1,0 +1,374 @@
+"""Misc ops vocabulary (TPU-native analog of reference ``common/tutti.py``)
+plus torch-compatible pooling closures.
+
+Everything here is shape-static and branch-free so it compiles to a single
+XLA program; the reference's per-keypoint Python refinement loop
+(tutti.py:427-434) is replaced by a fully vectorized gather.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from .activ import create_activation_layer, lambda_relu
+from .base import dense_kernel_init, to_2tuple
+from .conv import conv3x3_block
+from .norm import create_normalization_layer, lambda_batchnorm1d, lambda_batchnorm2d
+
+__all__ = [
+    "Identity", "BreakBlock", "flatten", "SelectableDense", "DenseBlock",
+    "NormActivation", "InterpolationBlock", "interpolate", "channel_shuffle",
+    "ChannelShuffle", "channel_shuffle2", "ChannelShuffle2", "DucBlock",
+    "pixel_shuffle", "HeatmapMaxDetBlock", "max_pool2d", "avg_pool2d",
+    "global_avg_pool2d", "adaptive_avg_pool2d",
+]
+
+
+class Identity(nn.Module):
+    """Identity block (reference tutti.py:18)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return x
+
+
+class BreakBlock(nn.Module):
+    """Returns None — hourglass skip cutoff (reference tutti.py:32)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return None
+
+
+def flatten(x):
+    return x.reshape(x.shape[0], -1)
+
+
+class SelectableDense(nn.Module):
+    """Per-sample weight selection dense layer (reference tutti.py:55).
+
+    ``indices``: (B,) int — selects a weight matrix per sample. On TPU this
+    is a gather of (O, I) matrices followed by a batched matmul on the MXU.
+    Parameter names ``weight``/``bias`` with torch shapes for converter parity.
+    """
+
+    in_features: int = 0
+    out_features: int = 0
+    bias: bool = False
+    num_options: int = 1
+
+    @nn.compact
+    def __call__(self, x, indices):
+        weight = self.param(
+            "weight", nn.initializers.lecun_normal(),
+            (self.num_options, self.out_features, self.in_features))
+        w = jnp.take(weight, indices, axis=0)           # (B, O, I)
+        y = jnp.einsum("boi,bi->bo", w, x)
+        if self.bias:
+            b = self.param("bias", nn.initializers.zeros,
+                           (self.num_options, self.out_features))
+            y = y + jnp.take(b, indices, axis=0)
+        return y
+
+
+class DenseBlock(nn.Module):
+    """FC + norm + activation (reference tutti.py:101)."""
+
+    in_features: Optional[int] = None
+    out_features: int = 0
+    bias: bool = False
+    normalization: Any = lambda_batchnorm1d()
+    activation: Any = lambda_relu()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.out_features, use_bias=self.bias,
+                     kernel_init=dense_kernel_init, name="fc")(x)
+        norm = create_normalization_layer(self.normalization, name="bn")
+        if norm is not None:
+            x = norm(x, train=train)
+        act = create_activation_layer(self.activation, name="activ")
+        if act is not None:
+            x = act(x)
+        return x
+
+
+class NormActivation(nn.Module):
+    """norm -> activation (final block in PreResNet; reference tutti.py:157)."""
+
+    in_channels: Optional[int] = None
+    normalization: Any = lambda_batchnorm2d()
+    activation: Any = lambda_relu()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = create_normalization_layer(self.normalization, name="bn")(
+            x, train=train)
+        x = create_activation_layer(self.activation, name="activ")(x)
+        return x
+
+
+def _resize_align_corners(x, out_h: int, out_w: int, method: str):
+    """Bilinear resize with align_corners=True (torch semantics).
+
+    Sample positions i*(in-1)/(out-1); gather 4 neighbors and lerp. All
+    coordinates are static, so weights fold into constants at compile time.
+    """
+    b, in_h, in_w, c = x.shape
+    if method == "nearest":
+        ys = np.floor(np.arange(out_h) * in_h / out_h).astype(np.int32)
+        xs = np.floor(np.arange(out_w) * in_w / out_w).astype(np.int32)
+        return x[:, ys][:, :, xs]
+    ys = np.arange(out_h) * ((in_h - 1) / max(out_h - 1, 1))
+    xs = np.arange(out_w) * ((in_w - 1) / max(out_w - 1, 1))
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, in_h - 1)
+    y1 = np.clip(y0 + 1, 0, in_h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, in_w - 1)
+    x1 = np.clip(x0 + 1, 0, in_w - 1)
+    wy = jnp.asarray((ys - y0), dtype=x.dtype).reshape(1, out_h, 1, 1)
+    wx = jnp.asarray((xs - x0), dtype=x.dtype).reshape(1, 1, out_w, 1)
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
+
+
+def interpolate(x, size: Tuple[int, int], mode: str = "bilinear",
+                align_corners: Optional[bool] = True):
+    """torch F.interpolate equivalent for NHWC with static ``size``."""
+    out_h, out_w = size
+    b, h, w, c = x.shape
+    if (out_h, out_w) == (h, w):
+        return x
+    if mode == "nearest":
+        return _resize_align_corners(x, out_h, out_w, "nearest")
+    if align_corners:
+        return _resize_align_corners(x, out_h, out_w, "bilinear")
+    return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear")
+
+
+class InterpolationBlock(nn.Module):
+    """Interpolation up/downsampling block (reference tutti.py:194)."""
+
+    scale_factor: Optional[int] = None
+    out_size: Optional[Tuple[int, int]] = None
+    mode: str = "bilinear"
+    align_corners: Optional[bool] = True
+    up: bool = True
+
+    @nn.compact
+    def __call__(self, x, size: Optional[Tuple[int, int]] = None,
+                 train: bool = False):
+        del train
+        if size is None:
+            size = self.calc_out_size(x)
+        return interpolate(x, size, mode=self.mode,
+                           align_corners=self.align_corners)
+
+    def calc_out_size(self, x) -> Tuple[int, int]:
+        if self.out_size is not None:
+            return self.out_size
+        h, w = x.shape[1:3]
+        if self.up:
+            return (h * self.scale_factor, w * self.scale_factor)
+        return (h // self.scale_factor, w // self.scale_factor)
+
+
+def channel_shuffle(x, groups: int):
+    """Channel shuffle (reference tutti.py:267) — a free reshape/transpose
+    in XLA. NHWC: channel index g*cpg+i -> i*groups+g."""
+    b, h, w, c = x.shape
+    cpg = c // groups
+    x = x.reshape(b, h, w, groups, cpg)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(b, h, w, c)
+
+
+class ChannelShuffle(nn.Module):
+    """Channel shuffle layer (reference tutti.py:294)."""
+
+    channels: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return channel_shuffle(x, self.groups)
+
+
+def channel_shuffle2(x, groups: int):
+    """Alternative channel shuffle (reference tutti.py:324)."""
+    b, h, w, c = x.shape
+    cpg = c // groups
+    x = x.reshape(b, h, w, cpg, groups)
+    x = jnp.swapaxes(x, 3, 4)
+    return x.reshape(b, h, w, c)
+
+
+class ChannelShuffle2(nn.Module):
+    channels: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return channel_shuffle2(x, self.groups)
+
+
+def pixel_shuffle(x, upscale_factor: int):
+    """torch nn.PixelShuffle for NHWC: channel c*r*r + i*r + j ->
+    spatial (h*r+i, w*r+j, c)."""
+    r = upscale_factor
+    b, h, w, c = x.shape
+    oc = c // (r * r)
+    x = x.reshape(b, h, w, oc, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, oc)
+
+
+class DucBlock(nn.Module):
+    """Dense Upsampling Convolution (reference tutti.py:376)."""
+
+    in_channels: Optional[int] = None
+    out_channels: int = 0
+    scale_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid_channels = (self.scale_factor ** 2) * self.out_channels
+        x = conv3x3_block(out_channels=mid_channels, name="conv")(
+            x, train=train)
+        return pixel_shuffle(x, self.scale_factor)
+
+
+class HeatmapMaxDetBlock(nn.Module):
+    """Heatmap maximum detector (reference tutti.py:408), fully vectorized.
+
+    Input heatmap (B, H, W, K) NHWC; returns (B, K, 3) = (x, y, score) with
+    the reference's +-0.25 px sign refinement (vectorized gathers instead of
+    the reference's Python double loop).
+    """
+
+    @nn.compact
+    def __call__(self, heatmap, train: bool = False):
+        del train
+        b, h, w, k = heatmap.shape
+        hm = jnp.transpose(heatmap, (0, 3, 1, 2))          # (B, K, H, W)
+        vec = hm.reshape(b, k, h * w)
+        indices = jnp.argmax(vec, axis=2)
+        scores = jnp.max(vec, axis=2)
+        mask = (scores > 0.0)
+        px = jnp.where(mask, indices % w, 0)
+        py = jnp.where(mask, indices // w, 0)
+        inner = (px > 0) & (px < w - 1) & (py > 0) & (py < h - 1)
+        pxc = jnp.clip(px, 1, w - 2)
+        pyc = jnp.clip(py, 1, h - 2)
+
+        def gather(dy, dx):
+            idx = (pyc + dy) * w + (pxc + dx)
+            return jnp.take_along_axis(vec, idx[..., None], axis=2)[..., 0]
+
+        dx_sign = jnp.sign(gather(0, 1) - gather(0, -1))
+        dy_sign = jnp.sign(gather(1, 0) - gather(-1, 0))
+        fx = px.astype(heatmap.dtype) + jnp.where(inner, dx_sign * 0.25, 0.0)
+        fy = py.astype(heatmap.dtype) + jnp.where(inner, dy_sign * 0.25, 0.0)
+        return jnp.stack([fx, fy, scores], axis=2)
+
+
+def max_pool2d(kernel_size, stride=None, padding=0, ceil_mode: bool = False):
+    """torch nn.MaxPool2d closure for NHWC (floor/ceil mode)."""
+    ks = to_2tuple(kernel_size)
+    st = to_2tuple(stride if stride is not None else kernel_size)
+    pd = to_2tuple(padding)
+
+    def pool(x):
+        pad = _pool_padding(x, ks, st, pd, ceil_mode)
+        return nn.max_pool(x, ks, strides=st, padding=pad)
+
+    return pool
+
+
+def avg_pool2d(kernel_size, stride=None, padding=0, ceil_mode: bool = False,
+               count_include_pad: bool = True):
+    """torch nn.AvgPool2d closure for NHWC."""
+    ks = to_2tuple(kernel_size)
+    st = to_2tuple(stride if stride is not None else kernel_size)
+    pd = to_2tuple(padding)
+
+    def pool(x):
+        pad = _pool_padding(x, ks, st, pd, ceil_mode)
+        if count_include_pad and not ceil_mode:
+            return nn.avg_pool(x, ks, strides=st, padding=pad,
+                               count_include_pad=True)
+        # count_include_pad=False (or ceil-mode extra pad, which torch never
+        # counts): divide by the per-window count of true elements.
+        ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+        summed = nn.pool(x, 0.0, jax.lax.add, ks, st, pad)
+        if count_include_pad:
+            # torch ceil_mode with count_include_pad=True counts the declared
+            # padding but not the ceil-mode extra; approximate with the
+            # declared-pad window count.
+            cnt = nn.pool(jnp.pad(ones, ((0, 0), (pd[0],) * 2, (pd[1],) * 2,
+                                         (0, 0)), constant_values=1.0),
+                          0.0, jax.lax.add, ks, st,
+                          [(0, pad[0][1] - pd[0]), (0, pad[1][1] - pd[1])])
+        else:
+            cnt = nn.pool(ones, 0.0, jax.lax.add, ks, st, pad)
+        return summed / jnp.maximum(cnt, 1.0)
+
+    return pool
+
+
+def _pool_padding(x, ks, st, pd, ceil_mode):
+    """Compute ((lo,hi),(lo,hi)) padding; extra hi-padding in ceil mode."""
+    pads = []
+    for dim, (k, s, p) in enumerate(zip(ks, st, pd)):
+        size = x.shape[1 + dim]
+        if ceil_mode:
+            out = -(-(size + 2 * p - k) // s) + 1
+            # torch: last window must start inside the (padded) input
+            if (out - 1) * s >= size + p:
+                out -= 1
+            extra = max((out - 1) * s + k - size - 2 * p, 0)
+        else:
+            extra = 0
+        pads.append((p, p + extra))
+    return pads
+
+
+def global_avg_pool2d(keepdims: bool = False):
+    def pool(x):
+        return jnp.mean(x, axis=(1, 2), keepdims=keepdims)
+    return pool
+
+
+def adaptive_avg_pool2d(output_size):
+    """torch nn.AdaptiveAvgPool2d with static shapes.
+
+    torch window i: [floor(i*m/n), ceil((i+1)*m/n)). For small static output
+    sizes (PSPNet pools to 1/2/3/6) this unrolls to a handful of mean-slices.
+    """
+    oh, ow = to_2tuple(output_size)
+
+    def pool(x):
+        b, h, w, c = x.shape
+        if (oh, ow) == (1, 1):
+            return jnp.mean(x, axis=(1, 2), keepdims=True)
+        if h % oh == 0 and w % ow == 0:
+            kh, kw = h // oh, w // ow
+            return nn.avg_pool(x, (kh, kw), strides=(kh, kw))
+        rows = []
+        for i in range(oh):
+            h0 = (i * h) // oh
+            h1 = -((-(i + 1) * h) // oh)
+            cols = []
+            for j in range(ow):
+                w0 = (j * w) // ow
+                w1 = -((-(j + 1) * w) // ow)
+                cols.append(jnp.mean(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+            rows.append(jnp.stack(cols, axis=1))
+        return jnp.stack(rows, axis=1)
+
+    return pool

@@ -1,0 +1,38 @@
+"""Registry-integrity tier (analog of reference
+``tests/test_model_weight_counts.py``): every implemented model's parameter
+count must equal the reference registry's ``net_weights`` value.
+
+Counting goes through ``jax.eval_shape`` — no FLOPs — so the whole registered
+zoo is checked on every run.
+"""
+
+import pytest
+
+import pytorchcv_tpu as ptc
+from pytorchcv_tpu.zoo import get_model_metainfo_dict
+
+
+def _cases():
+    meta = get_model_metainfo_dict()
+    return [name for name in ptc.registered_models() if name in meta]
+
+
+@pytest.mark.parametrize("name", _cases())
+def test_param_count_matches_registry(name):
+    meta = get_model_metainfo_dict()[name]
+    model = ptc.get_model(name, init=False)
+    assert model.num_params() == meta["params"], (
+        f"{name}: got {model.num_params()}, registry says {meta['params']}")
+
+
+@pytest.mark.parametrize("name", _cases())
+def test_output_shape(name):
+    meta = get_model_metainfo_dict()[name]
+    model = ptc.get_model(name, init=False)
+    out = model.eval_output_shape(batch=2)
+    if meta["dataset"] in ("in1k",):
+        assert out.shape == (2, 1000)
+    elif meta["dataset"] in ("cub",):
+        assert out.shape == (2, 200)
+    elif meta["dataset"] in ("cf",):  # cifar-10/svhn pool; classes vary
+        assert out.shape[0] == 2

@@ -1,0 +1,59 @@
+"""Forward-parity tier: convert a randomly initialized reference torch model
+through the generic checkpoint converter and require numerically matching
+logits. This validates both architectural parity and the converter — the two
+halves of "pretrained weights just work" — without network access.
+
+Representative models are chosen per family as they land; each new family
+should add itself to PARITY_CASES.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_to_path, has_reference
+
+pytestmark = pytest.mark.skipif(not has_reference(),
+                                reason="reference repo not mounted")
+
+# (name, reference module path, constructor, input size, tolerance)
+PARITY_CASES = [
+    ("resnet18", "pytorchcv.models.resnet", "resnet18", 224, 2e-4),
+    ("resnetbc14b", "pytorchcv.models.resnet", "resnetbc14b", 224, 2e-4),
+]
+
+
+def _forward_pair(name, ref_module, ref_ctor, size):
+    import importlib
+
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.zoo.convert import convert_state_dict
+
+    add_reference_to_path()
+    mod = importlib.import_module(ref_module)
+    torch.manual_seed(0)
+    ref = getattr(mod, ref_ctor)(pretrained=False).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    model = ptc.get_model(name, init=False)
+    variables = convert_state_dict(sd, model.shape_variables())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    x = np.random.RandomState(0).randn(2, 3, size, size).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.from_numpy(x)).numpy()
+    y = np.asarray(model.module.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False))
+    return y, y_ref
+
+
+@pytest.mark.parametrize("name,ref_module,ref_ctor,size,tol", PARITY_CASES)
+def test_forward_parity(name, ref_module, ref_ctor, size, tol):
+    y, y_ref = _forward_pair(name, ref_module, ref_ctor, size)
+    assert y.shape == y_ref.shape
+    scale = np.abs(y_ref).max() + 1e-9
+    err = np.abs(y - y_ref).max() / scale
+    assert err < tol, f"{name}: rel err {err:.2e} >= {tol}"
