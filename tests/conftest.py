@@ -19,6 +19,10 @@ import sys  # noqa: E402
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-selects the TPU platform regardless of the
+# JAX_PLATFORMS env var; the config API wins over it.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity with the reference's f32 eval: XLA's DEFAULT conv/matmul precision
 # is bf16-grade; pin to float32 for numeric comparisons.
 jax.config.update("jax_default_matmul_precision", "float32")

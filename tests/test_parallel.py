@@ -1,0 +1,78 @@
+"""Multi-chip tier: sharded inference + training on the 8-device CPU mesh
+(substitutes for real chips exactly as the driver's dryrun does)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_data_parallel_inference():
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.parallel import (data_parallel_infer_fn, make_mesh,
+                                        shard_batch)
+
+    model = ptc.get_model("resnet10", in_size=(64, 64))
+    mesh = make_mesh((8, 1))
+    fn = data_parallel_infer_fn(model, mesh, donate_input=False)
+    x = shard_batch(mesh, jnp.asarray(
+        np.random.RandomState(0).rand(16, 64, 64, 3), jnp.float32))
+    y = fn(model.variables, x)
+    assert y.shape == (16, 1000)
+    # sharded result must equal single-device result
+    y_ref = model.module.apply(model.variables,
+                               jax.device_get(x), train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_spatial_partitioned_inference():
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.parallel import make_mesh, spatial_infer_fn
+
+    model = ptc.get_model("resnet10", in_size=(64, 64))
+    mesh = make_mesh((8, 1))
+    fn = spatial_infer_fn(model, mesh)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    y = fn(model.variables, x)
+    y_ref = model.module.apply(model.variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_train_step():
+    import optax
+
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.parallel import (make_mesh, make_train_step,
+                                        shard_batch, shard_train_state)
+
+    model = ptc.get_model("resnet10", in_size=(64, 64))
+    mesh = make_mesh((4, 2))
+    tx = optax.sgd(1e-2, momentum=0.9)
+    state = shard_train_state(model, tx, mesh, min_tp_features=128)
+    step = make_train_step(model, tx)
+    rng = np.random.RandomState(0)
+    images = shard_batch(mesh, jnp.asarray(rng.rand(8, 64, 64, 3),
+                                           jnp.float32))
+    labels = shard_batch(mesh, jnp.asarray(rng.randint(0, 1000, 8),
+                                           jnp.int32))
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, images, labels)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 3
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[2] < losses[0], f"loss not decreasing: {losses}"
+
+
+def test_driver_dryrun_multichip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
