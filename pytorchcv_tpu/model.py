@@ -80,10 +80,13 @@ class Model:
         variables = self.variables or self.shape_variables()
         return _leaf_count(variables.get("params", {}))
 
-    def apply(self, variables, x, train: bool = False, **kwargs):
+    def apply(self, variables, x, train: bool = False, rngs=None, **kwargs):
         if train:
+            if rngs is None:
+                rngs = {"dropout": jax.random.PRNGKey(0)}
             return self.module.apply(variables, x, train=True,
-                                     mutable=["batch_stats"], **kwargs)
+                                     mutable=["batch_stats"], rngs=rngs,
+                                     **kwargs)
         return self.module.apply(variables, x, train=False, **kwargs)
 
     def __call__(self, x, train: bool = False):

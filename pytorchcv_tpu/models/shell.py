@@ -27,10 +27,17 @@ class ImageClassifier(Composed):
     in_size: Tuple[int, int] = (224, 224)
     in_channels: int = 3
     num_classes: int = 1000
+    output_before_flatten: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = self.adopt_call(self.features, x, train=train)
+        if self.output_before_flatten:
+            # conv-style head applied on the (B, 1, 1, C) pooled feature
+            # (e.g. MobileNetV2's 1x1-conv classifier, mobilenetv2.py:139)
+            if self.output is not None:
+                x = self.adopt_call(self.output, x, train=train)
+            return x.reshape(x.shape[0], -1)
         x = x.reshape(x.shape[0], -1)
         if self.output is not None:
             x = self.adopt_call(self.output, x, train=train)

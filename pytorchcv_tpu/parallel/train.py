@@ -95,10 +95,12 @@ def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
     donated.
     """
 
-    def loss_fn(params, batch_stats, images, labels):
+    def loss_fn(params, batch_stats, images, labels, step):
         variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(0), step)}
         logits, mutated = model.module.apply(
-            variables, images, train=True, mutable=["batch_stats"])
+            variables, images, train=True, mutable=["batch_stats"],
+            rngs=rngs)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
         acc = (logits.argmax(-1) == labels).mean()
@@ -107,7 +109,7 @@ def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
     def step(state: TrainState, images, labels):
         (loss, (new_stats, acc)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   images, labels)
+                                   images, labels, state.step)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,

@@ -19,6 +19,18 @@ pytestmark = pytest.mark.skipif(not has_reference(),
 PARITY_CASES = [
     ("resnet18", "pytorchcv.models.resnet", "resnet18", 224, 2e-4),
     ("resnetbc14b", "pytorchcv.models.resnet", "resnetbc14b", 224, 2e-4),
+    ("preresnet18", "pytorchcv.models.preresnet", "preresnet18", 224, 2e-4),
+    ("mobilenet_w1", "pytorchcv.models.mobilenet", "mobilenet_w1", 224, 2e-4),
+    ("mobilenetv2_w1", "pytorchcv.models.mobilenetv2", "mobilenetv2_w1",
+     224, 2e-4),
+    ("mobilenetv3_small_w1", "pytorchcv.models.mobilenetv3",
+     "mobilenetv3_small_w1", 224, 2e-4),
+    ("shufflenet_g3_w1", "pytorchcv.models.shufflenet", "shufflenet_g3_w1",
+     224, 2e-4),
+    ("shufflenetv2_w1", "pytorchcv.models.shufflenetv2", "shufflenetv2_w1",
+     224, 2e-4),
+    ("shufflenetv2b_w1", "pytorchcv.models.shufflenetv2b",
+     "shufflenetv2b_w1", 224, 2e-4),
 ]
 
 
