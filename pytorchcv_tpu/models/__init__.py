@@ -1,7 +1,10 @@
 """Model zoo. Importing this package registers every model constructor."""
 
-from . import (mobilenet, mobilenetv2, mobilenetv3, preresnet,  # noqa: F401
-               resnet, shufflenet, shufflenetv2, shufflenetv2b)
+from . import (alexnet, cbamresnet, darknet, darknet53,  # noqa: F401
+               densenet, dpn, hrnet, mobilenet, mobilenetv2, mobilenetv3,
+               preresnet, resnet, resnext, senet, sepreresnet, seresnet,
+               seresnext, shufflenet, shufflenetv2, shufflenetv2b, sknet,
+               squeezenet, vgg, wrn, zfnet)
 from .registry import get_constructor, register_model, registered_models
 
 __all__ = ["get_constructor", "register_model", "registered_models"]

@@ -37,8 +37,17 @@ class ImageClassifier(Composed):
             # (e.g. MobileNetV2's 1x1-conv classifier, mobilenetv2.py:139)
             if self.output is not None:
                 x = self.adopt_call(self.output, x, train=train)
-            return x.reshape(x.shape[0], -1)
-        x = x.reshape(x.shape[0], -1)
+            return _flatten_torch_order(x)
+        x = _flatten_torch_order(x)
         if self.output is not None:
             x = self.adopt_call(self.output, x, train=train)
         return x
+
+
+def _flatten_torch_order(x):
+    """Flatten to (B, -1) in NCHW element order, so classifier weights map
+    1:1 from reference checkpoints even when the pooled feature keeps
+    spatial extent (VGG/AlexNet flatten 7x7 maps). Free when spatial is 1x1."""
+    if x.ndim == 4 and (x.shape[1] > 1 or x.shape[2] > 1):
+        x = jnp.transpose(x, (0, 3, 1, 2))
+    return x.reshape(x.shape[0], -1)

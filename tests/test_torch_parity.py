@@ -31,6 +31,21 @@ PARITY_CASES = [
      224, 2e-4),
     ("shufflenetv2b_w1", "pytorchcv.models.shufflenetv2b",
      "shufflenetv2b_w1", 224, 2e-4),
+    ("seresnet18", "pytorchcv.models.seresnet", "seresnet18", 224, 2e-4),
+    ("sepreresnet10", "pytorchcv.models.sepreresnet", "sepreresnet10",
+     224, 2e-4),
+    ("resnext14_32x4d", "pytorchcv.models.resnext", "resnext14_32x4d",
+     224, 2e-4),
+    ("alexnet", "pytorchcv.models.alexnet", "alexnet", 224, 2e-4),
+    ("squeezenet_v1_1", "pytorchcv.models.squeezenet", "squeezenet_v1_1",
+     224, 2e-4),
+    ("darknet_tiny", "pytorchcv.models.darknet", "darknet_tiny", 224, 2e-4),
+    ("densenet121", "pytorchcv.models.densenet", "densenet121", 224, 2e-4),
+    ("cbam_resnet18", "pytorchcv.models.cbamresnet", "cbam_resnet18",
+     224, 2e-4),
+    ("dpn68", "pytorchcv.models.dpn", "dpn68", 224, 2e-4),
+    ("hrnet_w18_small_v1", "pytorchcv.models.hrnet", "hrnet_w18_small_v1",
+     224, 2e-4),
 ]
 
 
