@@ -8,7 +8,7 @@ from .activ import (PReLU, create_activation_layer, hsigmoid, hswish,
 from .arch import (Concurrent, DualPathSequential, Hourglass,
                    MultiOutputSequential, ParallelConcurent,
                    ParametricSequential, Sequential, SequentialConcurrent,
-                   SesquialteralHourglass)
+                   SesquialteralHourglass, positional_layers)
 from .att import SABlock, SAConvBlock, SEBlock, round_channels, saconv3x3_block
 from .base import call_block, conv_kernel_init, dense_kernel_init, to_2tuple, to_pad2d
 from .conv import (AsymConvBlock, ConvBlock, ConvBlock1d, ConvTranspose2d,

@@ -19,8 +19,27 @@ from .base import Composed, call_block
 __all__ = [
     "Sequential", "DualPathSequential", "Concurrent", "SequentialConcurrent",
     "ParametricSequential", "MultiOutputSequential", "ParallelConcurent",
-    "Hourglass", "SesquialteralHourglass",
+    "Hourglass", "SesquialteralHourglass", "positional_layers",
 ]
+
+
+def positional_layers(layers):
+    """Rename module children to positional indices "0", "1", ...
+
+    torch's ``del seq[-1]`` re-keys nn.Sequential children positionally, so
+    reference checkpoints for composed heads (PSPNet/SimplePose backbones,
+    pspnet.py:276-280) store ``backbone.0...`` keys. Cloning with numeric
+    names reproduces that layout.
+    """
+    from .base import Held
+    out = []
+    for i, m in enumerate(layers):
+        if isinstance(m, Held):
+            m = m.module
+        if isinstance(m, nn.Module):
+            m = m.clone(name=str(i))
+        out.append(m)
+    return tuple(out)
 
 
 class Sequential(Composed):

@@ -32,7 +32,7 @@ __all__ = [
 
 
 def _conv2d(out_channels, kernel_size, stride=1, padding=0, dilation=1,
-            groups=1, bias=False, name="conv"):
+            groups=1, bias=False, name="conv", **kw):
     """Unwrapped nn.Conv so the param path is ``<name>/kernel`` directly."""
     return nn.Conv(
         features=out_channels,
@@ -44,15 +44,16 @@ def _conv2d(out_channels, kernel_size, stride=1, padding=0, dilation=1,
         use_bias=bias,
         kernel_init=conv_kernel_init,
         name=name,
+        **kw,
     )
 
 
 def conv1x1(in_channels=None, out_channels=0, stride=1, groups=1, bias=False,
-            name="conv"):
+            name="conv", **kw):
     """1x1 convolution layer (reference conv.py:89)."""
     del in_channels
     return _conv2d(out_channels, 1, stride=stride, groups=groups, bias=bias,
-                   name=name)
+                   name=name, **kw)
 
 
 def conv3x3(in_channels=None, out_channels=0, stride=1, padding=1, dilation=1,
@@ -326,9 +327,12 @@ class ConvTranspose2d(nn.Module):
     + out_padding + 1. Implemented as an input-dilated (fractionally strided)
     forward conv, which XLA lowers onto the MXU directly.
 
-    Parameter ``kernel`` is stored HWIO of the *equivalent forward conv*
-    (i.e. torch weight (I, O/g, kH, kW) transposed to (kH, kW, I/g·… , O));
-    the checkpoint converter handles the deconv-specific transpose.
+    Parameter ``kernel`` is stored as (kH, kW, O, I) — exactly what the
+    generic converter's rank-4 rule (torch (I, O, kH, kW) -> transpose
+    (2, 3, 1, 0)) produces — so conv and deconv share ONE unambiguous
+    conversion rule (a shape-based fallback would silently mis-convert
+    square-channel deconvs). The in/out swap happens here at trace time
+    and folds into the kernel constant under jit.
     """
 
     out_channels: int
@@ -343,6 +347,7 @@ class ConvTranspose2d(nn.Module):
     @nn.compact
     def __call__(self, x):
         import jax.lax as lax
+        assert self.groups == 1, "grouped deconv not supported yet"
         kh, kw = to_2tuple(self.kernel_size)
         sh, sw = to_2tuple(self.stride)
         dh, dw = to_2tuple(self.dilation)
@@ -351,7 +356,8 @@ class ConvTranspose2d(nn.Module):
 
         kernel = self.param(
             "kernel", conv_kernel_init,
-            (kh, kw, x.shape[-1] // self.groups, self.out_channels))
+            (kh, kw, self.out_channels, x.shape[-1]))
+        kernel = jnp.swapaxes(kernel, 2, 3)  # -> (kH, kW, I, O)
         # Transposed conv == forward conv over the stride-dilated input with
         # a spatially flipped kernel and padding d*(k-1) - p (+ out_padding hi).
         pad = (

@@ -67,10 +67,10 @@ def _convert_leaf(flax_path: Tuple[str, ...], target_shape, collection: str,
     if leaf == "kernel":
         w = take("weight")
         if w.ndim == 4:
+            # One rule for conv AND deconv: ConvTranspose2d stores (kH, kW,
+            # O, I), which this same transpose produces from torch's
+            # (I, O, kH, kW).
             cand = w.transpose(2, 3, 1, 0)
-            if cand.shape == tuple(target_shape):
-                return cand
-            cand = w.transpose(2, 3, 0, 1)  # ConvTranspose2d layout
             if cand.shape == tuple(target_shape):
                 return cand
             raise ConversionError(

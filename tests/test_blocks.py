@@ -114,7 +114,9 @@ def test_deconv_block_vs_torch():
     b = ref_deconv.bias.detach().numpy()
     mod = ConvTranspose2d(out_channels=6, kernel_size=4, stride=2, padding=1,
                           bias=True)
-    variables = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 0, 1)),
+    # stored layout: (kH, kW, O, I) == torch weight (I, O, kH, kW) via the
+    # same (2, 3, 1, 0) transpose every conv uses
+    variables = {"params": {"kernel": jnp.asarray(w.transpose(2, 3, 1, 0)),
                             "bias": jnp.asarray(b)}}
     out = np.asarray(mod.apply(variables, jnp.asarray(to_nhwc(x))))
     np.testing.assert_allclose(to_nchw(out), ref, rtol=1e-4, atol=1e-5)

@@ -1,7 +1,7 @@
 """Forward-parity tier: convert a randomly initialized reference torch model
 through the generic checkpoint converter and require numerically matching
-logits. This validates both architectural parity and the converter — the two
-halves of "pretrained weights just work" — without network access.
+outputs. This validates both architectural parity and the converter — the
+two halves of "pretrained weights just work" — without network access.
 
 Representative models are chosen per family as they land; each new family
 should add itself to PARITY_CASES.
@@ -15,41 +15,59 @@ from conftest import add_reference_to_path, has_reference
 pytestmark = pytest.mark.skipif(not has_reference(),
                                 reason="reference repo not mounted")
 
-# (name, reference module path, constructor, input size, tolerance)
+# (name, reference module path, ctor, input hw, tolerance, ctor kwargs)
 PARITY_CASES = [
-    ("resnet18", "pytorchcv.models.resnet", "resnet18", 224, 2e-4),
-    ("resnetbc14b", "pytorchcv.models.resnet", "resnetbc14b", 224, 2e-4),
-    ("preresnet18", "pytorchcv.models.preresnet", "preresnet18", 224, 2e-4),
-    ("mobilenet_w1", "pytorchcv.models.mobilenet", "mobilenet_w1", 224, 2e-4),
+    ("resnet18", "pytorchcv.models.resnet", "resnet18", (224, 224), 2e-4,
+     {}),
+    ("resnetbc14b", "pytorchcv.models.resnet", "resnetbc14b", (224, 224),
+     2e-4, {}),
+    ("preresnet18", "pytorchcv.models.preresnet", "preresnet18", (224, 224),
+     2e-4, {}),
+    ("mobilenet_w1", "pytorchcv.models.mobilenet", "mobilenet_w1",
+     (224, 224), 2e-4, {}),
     ("mobilenetv2_w1", "pytorchcv.models.mobilenetv2", "mobilenetv2_w1",
-     224, 2e-4),
+     (224, 224), 2e-4, {}),
     ("mobilenetv3_small_w1", "pytorchcv.models.mobilenetv3",
-     "mobilenetv3_small_w1", 224, 2e-4),
+     "mobilenetv3_small_w1", (224, 224), 2e-4, {}),
     ("shufflenet_g3_w1", "pytorchcv.models.shufflenet", "shufflenet_g3_w1",
-     224, 2e-4),
+     (224, 224), 2e-4, {}),
     ("shufflenetv2_w1", "pytorchcv.models.shufflenetv2", "shufflenetv2_w1",
-     224, 2e-4),
+     (224, 224), 2e-4, {}),
     ("shufflenetv2b_w1", "pytorchcv.models.shufflenetv2b",
-     "shufflenetv2b_w1", 224, 2e-4),
-    ("seresnet18", "pytorchcv.models.seresnet", "seresnet18", 224, 2e-4),
+     "shufflenetv2b_w1", (224, 224), 2e-4, {}),
+    ("seresnet18", "pytorchcv.models.seresnet", "seresnet18", (224, 224),
+     2e-4, {}),
     ("sepreresnet10", "pytorchcv.models.sepreresnet", "sepreresnet10",
-     224, 2e-4),
+     (224, 224), 2e-4, {}),
     ("resnext14_32x4d", "pytorchcv.models.resnext", "resnext14_32x4d",
-     224, 2e-4),
-    ("alexnet", "pytorchcv.models.alexnet", "alexnet", 224, 2e-4),
+     (224, 224), 2e-4, {}),
+    ("alexnet", "pytorchcv.models.alexnet", "alexnet", (224, 224), 2e-4,
+     {}),
     ("squeezenet_v1_1", "pytorchcv.models.squeezenet", "squeezenet_v1_1",
-     224, 2e-4),
-    ("darknet_tiny", "pytorchcv.models.darknet", "darknet_tiny", 224, 2e-4),
-    ("densenet121", "pytorchcv.models.densenet", "densenet121", 224, 2e-4),
+     (224, 224), 2e-4, {}),
+    ("darknet_tiny", "pytorchcv.models.darknet", "darknet_tiny", (224, 224),
+     2e-4, {}),
+    ("densenet121", "pytorchcv.models.densenet", "densenet121", (224, 224),
+     2e-4, {}),
     ("cbam_resnet18", "pytorchcv.models.cbamresnet", "cbam_resnet18",
-     224, 2e-4),
-    ("dpn68", "pytorchcv.models.dpn", "dpn68", 224, 2e-4),
+     (224, 224), 2e-4, {}),
+    ("dpn68", "pytorchcv.models.dpn", "dpn68", (224, 224), 2e-4, {}),
     ("hrnet_w18_small_v1", "pytorchcv.models.hrnet", "hrnet_w18_small_v1",
-     224, 2e-4),
+     (224, 224), 2e-4, {}),
+    ("resneta10", "pytorchcv.models.resneta", "resneta10", (224, 224),
+     2e-4, {}),
+    ("pspnet_resnetd50b_voc", "pytorchcv.models.pspnet",
+     "pspnet_resnetd50b_voc", (240, 240), 5e-4,
+     {"in_size": (240, 240), "aux": True}),
+    ("deeplabv3_resnetd50b_voc", "pytorchcv.models.deeplabv3",
+     "deeplabv3_resnetd50b_voc", (240, 240), 5e-4,
+     {"in_size": (240, 240), "aux": True}),
+    ("simplepose_resnet18_coco", "pytorchcv.models.simplepose_coco",
+     "simplepose_resnet18_coco", (256, 192), 2e-4, {}),
 ]
 
 
-def _forward_pair(name, ref_module, ref_ctor, size):
+def _forward_pair(name, ref_module, ref_ctor, size, kwargs):
     import importlib
 
     import torch
@@ -62,25 +80,42 @@ def _forward_pair(name, ref_module, ref_ctor, size):
     add_reference_to_path()
     mod = importlib.import_module(ref_module)
     torch.manual_seed(0)
-    ref = getattr(mod, ref_ctor)(pretrained=False).eval()
+    ref = getattr(mod, ref_ctor)(pretrained=False, **kwargs).eval()
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
 
-    model = ptc.get_model(name, init=False)
+    model = ptc.get_model(name, init=False, **kwargs)
     variables = convert_state_dict(sd, model.shape_variables())
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
 
-    x = np.random.RandomState(0).randn(2, 3, size, size).astype(np.float32)
+    h, w = size
+    x = np.random.RandomState(0).randn(1, 3, h, w).astype(np.float32)
     with torch.no_grad():
-        y_ref = ref(torch.from_numpy(x)).numpy()
-    y = np.asarray(model.module.apply(
-        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False))
+        y_ref = ref(torch.from_numpy(x))
+    y = model.module.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
     return y, y_ref
 
 
-@pytest.mark.parametrize("name,ref_module,ref_ctor,size,tol", PARITY_CASES)
-def test_forward_parity(name, ref_module, ref_ctor, size, tol):
-    y, y_ref = _forward_pair(name, ref_module, ref_ctor, size)
-    assert y.shape == y_ref.shape
-    scale = np.abs(y_ref).max() + 1e-9
-    err = np.abs(y - y_ref).max() / scale
-    assert err < tol, f"{name}: rel err {err:.2e} >= {tol}"
+def _to_np_nchw(a, is_torch):
+    x = a.numpy() if is_torch else np.asarray(a)
+    if x.ndim == 4:
+        if is_torch:
+            return x
+        return x.transpose(0, 3, 1, 2)
+    return x
+
+
+@pytest.mark.parametrize("name,ref_module,ref_ctor,size,tol,kwargs",
+                         PARITY_CASES)
+def test_forward_parity(name, ref_module, ref_ctor, size, tol, kwargs):
+    y, y_ref = _forward_pair(name, ref_module, ref_ctor, size, kwargs)
+    ys = y if isinstance(y, (tuple, list)) else [y]
+    yrs = y_ref if isinstance(y_ref, (tuple, list)) else [y_ref]
+    assert len(ys) == len(yrs)
+    for a, b in zip(ys, yrs):
+        a = _to_np_nchw(a, is_torch=False)
+        b = _to_np_nchw(b, is_torch=True)
+        assert a.shape == b.shape, f"{name}: {a.shape} vs {b.shape}"
+        scale = np.abs(b).max() + 1e-9
+        err = np.abs(a - b).max() / scale
+        assert err < tol, f"{name}: rel err {err:.2e} >= {tol}"
