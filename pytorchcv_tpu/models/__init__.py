@@ -1,11 +1,18 @@
 """Model zoo. Importing this package registers every model constructor."""
 
 from . import (alexnet, cbamresnet, darknet, darknet53,  # noqa: F401
+               densenet_cifar, nin_cifar, preresnet_cifar, pyramidnet,
+               pyramidnet_cifar, resnet_cifar, resnext_cifar,
+               sepreresnet_cifar,
+               ror_cifar, seresnet_cifar, wrn_cifar,
                densenet, dpn, hrnet, mobilenet, mobilenetv2, mobilenetv3,
                preresnet, resnet, resnext, senet, sepreresnet, seresnet,
                resneta, resnetd, seresnext, shufflenet, shufflenetv2,
                shufflenetv2b, simplepose_coco, sknet, pspnet, deeplabv3,
-               fcn8sd,
+               efficientnet, fbnet, fcn8sd, ghostnet, igcv3, mnasnet,
+               peleenet,
+               proxylessnas, spnasnet,
+               regnet, vovnet,
                squeezenet, vgg, wrn, zfnet)
 from .registry import get_constructor, register_model, registered_models
 

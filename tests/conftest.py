@@ -27,6 +27,13 @@ jax.config.update("jax_platforms", "cpu")
 # is bf16-grade; pin to float32 for numeric comparisons.
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: parity tests are compile-bound on the single
+# CPU core; cached executables make repeat CI runs fast.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_PATH = "/root/reference"
 
 

@@ -6,15 +6,36 @@ Counting goes through ``jax.eval_shape`` — no FLOPs — so the whole registere
 zoo is checked on every run.
 """
 
+import itertools
+import os
+import re
+
 import pytest
 
 import pytorchcv_tpu as ptc
 from pytorchcv_tpu.zoo import get_model_metainfo_dict
 
 
+def _family(name: str) -> str:
+    """Crude family key: strip digits/size suffixes so each architecture
+    family contributes representatives."""
+    return re.sub(r"[0-9]+.*$", "", name)
+
+
 def _cases():
     meta = get_model_metainfo_dict()
-    return [name for name in ptc.registered_models() if name in meta]
+    names = [name for name in ptc.registered_models() if name in meta]
+    if os.environ.get("PARAM_FULL"):
+        return names
+    # Default: first + last variant per family (keeps CI fast; run with
+    # PARAM_FULL=1 for the exhaustive sweep).
+    picked = []
+    for _, group in itertools.groupby(sorted(names), key=_family):
+        group = list(group)
+        picked.append(group[0])
+        if len(group) > 1:
+            picked.append(group[-1])
+    return picked
 
 
 @pytest.mark.parametrize("name", _cases())
