@@ -1,6 +1,7 @@
 """Model zoo. Importing this package registers every model constructor."""
 
-from . import (alexnet, cbamresnet, darknet, darknet53,  # noqa: F401
+from . import (alexnet, bagnet, bninception, cbamresnet, cub,  # noqa: F401
+               darknet, darknet53, diracnetv2, menet, squeezenext,
                densenet_cifar, nin_cifar, preresnet_cifar, pyramidnet,
                pyramidnet_cifar, resnet_cifar, resnext_cifar,
                sepreresnet_cifar,

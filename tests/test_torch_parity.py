@@ -87,6 +87,17 @@ PARITY_CASES = [
      (32, 32), 2e-4, {}),
     ("pyramidnet101_a360", "pytorchcv.models.pyramidnet",
      "pyramidnet101_a360", (224, 224), 3e-4, {}),
+    ("bninception", "pytorchcv.models.bninception", "bninception",
+     (224, 224), 2e-4, {}),
+    ("bagnet9", "pytorchcv.models.bagnet", "bagnet9", (224, 224), 2e-4, {}),
+    ("diracnet18v2", "pytorchcv.models.diracnetv2", "diracnet18v2",
+     (224, 224), 2e-4, {}),
+    ("sqnxt23_w1", "pytorchcv.models.squeezenext", "sqnxt23_w1",
+     (224, 224), 2e-4, {}),
+    # menet: per-unit parity is ~1e-7, but 16 sigmoid-gated units with
+    # random-init (uncalibrated) BN amplify fp drift end-to-end.
+    ("menet108_8x1_g3", "pytorchcv.models.menet", "menet108_8x1_g3",
+     (224, 224), 1e-2, {}),
 ]
 
 
