@@ -98,6 +98,16 @@ PARITY_CASES = [
     # random-init (uncalibrated) BN amplify fp drift end-to-end.
     ("menet108_8x1_g3", "pytorchcv.models.menet", "menet108_8x1_g3",
      (224, 224), 1e-2, {}),
+    ("xception", "pytorchcv.models.xception", "xception", (299, 299),
+     2e-4, {}),
+    ("inceptionv3", "pytorchcv.models.inceptionv3", "inceptionv3",
+     (299, 299), 2e-4, {}),
+    ("inceptionv4", "pytorchcv.models.inceptionv4", "inceptionv4",
+     (299, 299), 2e-4, {}),
+    ("inceptionresnetv1", "pytorchcv.models.inceptionresnetv1",
+     "inceptionresnetv1", (299, 299), 2e-4, {}),
+    ("inceptionresnetv2", "pytorchcv.models.inceptionresnetv2",
+     "inceptionresnetv2", (299, 299), 2e-4, {}),
 ]
 
 
