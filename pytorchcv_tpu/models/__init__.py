@@ -1,7 +1,9 @@
 """Model zoo. Importing this package registers every model constructor."""
 
 from . import (alexnet, bagnet, bninception, cbamresnet, cub,  # noqa: F401
-               darknet, darknet53, diracnetv2, inceptionresnetv1,
+               darknet, darknet53, diracnetv2, ibnbresnet, ibndensenet,
+               ibnresnet, ibnresnext, inceptionresnetv1,
+               resnesta, scnet,
                inceptionresnetv2, inceptionv3, inceptionv4, menet,
                squeezenext, xception,
                densenet_cifar, nin_cifar, preresnet_cifar, pyramidnet,

@@ -138,6 +138,8 @@ class SAConvBlock(nn.Module):
     groups: int = 1
     bias: bool = False
     radix: int = 2
+    normalization: Any = lambda_batchnorm2d()
+    activation: Any = lambda_relu()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -149,6 +151,8 @@ class SAConvBlock(nn.Module):
             dilation=self.dilation,
             groups=self.groups * self.radix,
             bias=self.bias,
+            normalization=self.normalization,
+            activation=self.activation,
             name="conv",
         )(x, train=train)
         x = SABlock(out_channels=self.out_channels, groups=self.groups,

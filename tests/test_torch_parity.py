@@ -108,6 +108,18 @@ PARITY_CASES = [
      "inceptionresnetv1", (299, 299), 2e-4, {}),
     ("inceptionresnetv2", "pytorchcv.models.inceptionresnetv2",
      "inceptionresnetv2", (299, 299), 2e-4, {}),
+    ("resnestabc14", "pytorchcv.models.resnesta", "resnestabc14",
+     (224, 224), 2e-4, {}),
+    ("scnet50", "pytorchcv.models.scnet", "scnet50", (224, 224), 2e-4, {}),
+    ("scneta50", "pytorchcv.models.scnet", "scneta50", (224, 224), 2e-4, {}),
+    ("ibn_resnet50", "pytorchcv.models.ibnresnet", "ibn_resnet50",
+     (224, 224), 2e-4, {}),
+    ("ibnb_resnet50", "pytorchcv.models.ibnbresnet", "ibnb_resnet50",
+     (224, 224), 2e-4, {}),
+    ("ibn_resnext50_32x4d", "pytorchcv.models.ibnresnext",
+     "ibn_resnext50_32x4d", (224, 224), 2e-4, {}),
+    ("ibn_densenet121", "pytorchcv.models.ibndensenet", "ibn_densenet121",
+     (224, 224), 2e-4, {}),
 ]
 
 
