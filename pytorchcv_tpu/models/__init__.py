@@ -1,6 +1,7 @@
 """Model zoo. Importing this package registers every model constructor."""
 
-from . import (alexnet, bagnet, bninception, cbamresnet, cub,  # noqa: F401
+from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
+               cbamresnet, cub,
                darknet, darknet53, diracnetv2, ibnbresnet, ibndensenet,
                ibnresnet, ibnresnext, inceptionresnetv1,
                resnesta, scnet,

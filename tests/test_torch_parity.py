@@ -120,6 +120,12 @@ PARITY_CASES = [
      "ibn_resnext50_32x4d", (224, 224), 2e-4, {}),
     ("ibn_densenet121", "pytorchcv.models.ibndensenet", "ibn_densenet121",
      (224, 224), 2e-4, {}),
+    ("airnet50_1x64d_r2", "pytorchcv.models.airnet", "airnet50_1x64d_r2",
+     (224, 224), 2e-4, {}),
+    ("airnext50_32x4d_r2", "pytorchcv.models.airnext", "airnext50_32x4d_r2",
+     (224, 224), 2e-4, {}),
+    ("bam_resnet50", "pytorchcv.models.bamresnet", "bam_resnet50",
+     (224, 224), 2e-4, {}),
 ]
 
 
