@@ -126,6 +126,11 @@ PARITY_CASES = [
      (224, 224), 2e-4, {}),
     ("bam_resnet50", "pytorchcv.models.bamresnet", "bam_resnet50",
      (224, 224), 2e-4, {}),
+    ("dla34", "pytorchcv.models.dla", "dla34", (224, 224), 2e-4, {}),
+    ("dla60x", "pytorchcv.models.dla", "dla60x", (224, 224), 2e-4, {}),
+    ("dla102", "pytorchcv.models.dla", "dla102", (224, 224), 2e-4, {}),
+    ("drnc26", "pytorchcv.models.drn", "drnc26", (224, 224), 2e-4, {}),
+    ("drnd54", "pytorchcv.models.drn", "drnd54", (224, 224), 2e-4, {}),
 ]
 
 
