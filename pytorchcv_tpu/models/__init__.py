@@ -1,7 +1,7 @@
 """Model zoo. Importing this package registers every model constructor."""
 
 from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
-               cbamresnet, cub, dla, drn,
+               cbamresnet, cub, dla, drn, hardnet, selecsls,
                darknet, darknet53, diracnetv2, ibnbresnet, ibndensenet,
                ibnresnet, ibnresnext, inceptionresnetv1,
                resnesta, scnet,

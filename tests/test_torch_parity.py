@@ -131,6 +131,14 @@ PARITY_CASES = [
     ("dla102", "pytorchcv.models.dla", "dla102", (224, 224), 2e-4, {}),
     ("drnc26", "pytorchcv.models.drn", "drnc26", (224, 224), 2e-4, {}),
     ("drnd54", "pytorchcv.models.drn", "drnd54", (224, 224), 2e-4, {}),
+    ("selecsls42", "pytorchcv.models.selecsls", "selecsls42", (224, 224),
+     2e-4, {}),
+    ("selecsls60b", "pytorchcv.models.selecsls", "selecsls60b", (224, 224),
+     2e-4, {}),
+    ("hardnet39ds", "pytorchcv.models.hardnet", "hardnet39ds", (224, 224),
+     2e-4, {}),
+    ("hardnet68", "pytorchcv.models.hardnet", "hardnet68", (224, 224),
+     2e-4, {}),
 ]
 
 
