@@ -15,7 +15,8 @@ from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
                preresnet, resnet, resnext, senet, sepreresnet, seresnet,
                resneta, resnetd, seresnext, shufflenet, shufflenetv2,
                shufflenetv2b, simplepose_coco, sknet, pspnet, deeplabv3,
-               efficientnet, fbnet, fcn8sd, ghostnet, igcv3, mnasnet,
+               efficientnet, efficientnetedge, fbnet, fcn8sd, ghostnet,
+               igcv3, mixnet, mnasnet,
                peleenet,
                proxylessnas, spnasnet,
                regnet, vovnet,

@@ -139,6 +139,10 @@ PARITY_CASES = [
      2e-4, {}),
     ("hardnet68", "pytorchcv.models.hardnet", "hardnet68", (224, 224),
      2e-4, {}),
+    ("mixnet_s", "pytorchcv.models.mixnet", "mixnet_s", (224, 224),
+     2e-4, {}),
+    ("efficientnet_edge_small_b", "pytorchcv.models.efficientnetedge",
+     "efficientnet_edge_small_b", (224, 224), 2e-4, {}),
 ]
 
 
