@@ -64,6 +64,16 @@ def _convert_leaf(flax_path: Tuple[str, ...], target_shape, collection: str,
             return take("running_var")
         raise ConversionError(f"unknown batch_stats leaf {leaf!r}")
 
+    if collection == "buffers":
+        # non-trainable torch buffers stored under their own name
+        # (e.g. CondenseNet's learned-group-conv ``index``; XDenseNet's
+        # expander ``mask`` follows the conv-kernel OIHW->HWIO transpose).
+        arr = take(leaf)
+        if arr.ndim == 4 and arr.transpose(2, 3, 1, 0).shape == \
+                tuple(target_shape):
+            return arr.transpose(2, 3, 1, 0)
+        return arr
+
     if leaf == "kernel":
         w = take("weight")
         if w.ndim == 4:

@@ -143,6 +143,12 @@ PARITY_CASES = [
      2e-4, {}),
     ("efficientnet_edge_small_b", "pytorchcv.models.efficientnetedge",
      "efficientnet_edge_small_b", (224, 224), 2e-4, {}),
+    ("sparsenet121", "pytorchcv.models.sparsenet", "sparsenet121",
+     (224, 224), 2e-4, {}),
+    ("condensenet74_c4_g4", "pytorchcv.models.condensenet",
+     "condensenet74_c4_g4", (224, 224), 2e-4, {}),
+    ("xdensenet40_2_k24_bc_cifar10", "pytorchcv.models.xdensenet_cifar",
+     "xdensenet40_2_k24_bc_cifar10", (32, 32), 2e-4, {}),
 ]
 
 
