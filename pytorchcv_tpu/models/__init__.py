@@ -1,7 +1,9 @@
 """Model zoo. Importing this package registers every model constructor."""
 
 from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
-               cbamresnet, condensenet, cub, dla, drn, hardnet, selecsls,
+               cbamresnet, condensenet, cub, diapreresnet,
+               diapreresnet_cifar, diaresnet, diaresnet_cifar, dla, drn,
+               hardnet, selecsls,
                sparsenet, xdensenet, xdensenet_cifar,
                darknet, darknet53, diracnetv2, ibnbresnet, ibndensenet,
                ibnresnet, ibnresnext, inceptionresnetv1,

@@ -51,9 +51,22 @@ def _convert_leaf(flax_path: Tuple[str, ...], target_shape, collection: str,
     def take(suffix: str) -> np.ndarray:
         key = f"{prefix}.{suffix}" if prefix else suffix
         if key not in torch_tensors:
-            raise ConversionError(
-                f"missing torch key {key!r} for flax leaf "
-                f"{'/'.join(flax_path)} ({collection})")
+            # Shared-submodule alias: torch registers a module shared across
+            # sibling units under EVERY unit (e.g. DIA attention,
+            # diaresnet.py:203-207: `stage.unit{K}.attention...` all alias
+            # one tensor); our tree stores it once at the sharing parent.
+            # Probe with "unit1." inserted at each scope depth.
+            parts = prefix.split(".") if prefix else []
+            for i in range(len(parts), -1, -1):
+                cand = ".".join(parts[:i] + ["unit1"] + parts[i:])
+                cand = f"{cand}.{suffix}"
+                if cand in torch_tensors:
+                    key = cand
+                    break
+            else:
+                raise ConversionError(
+                    f"missing torch key {key!r} for flax leaf "
+                    f"{'/'.join(flax_path)} ({collection})")
         consumed.add(key)
         return _to_numpy(torch_tensors[key])
 
@@ -130,8 +143,22 @@ def convert_state_dict(state_dict: Dict[str, Any], shape_variables,
         out[collection] = built
 
     if strict:
-        leftovers = [k for k in torch_tensors
+        # Tensors aliased under several keys (torch shared submodules) count
+        # as consumed once any alias is.
+        def _tid(v):
+            try:
+                return v.data_ptr()
+            except AttributeError:
+                pass
+            try:
+                return v.__array_interface__["data"][0]
+            except (AttributeError, KeyError):
+                return id(v)
+
+        consumed_ids = {_tid(torch_tensors[k]) for k in consumed}
+        leftovers = [k for k, v in torch_tensors.items()
                      if k not in consumed
+                     and _tid(v) not in consumed_ids
                      and not k.endswith("num_batches_tracked")]
         if leftovers:
             raise ConversionError(

@@ -149,6 +149,12 @@ PARITY_CASES = [
      "condensenet74_c4_g4", (224, 224), 2e-4, {}),
     ("xdensenet40_2_k24_bc_cifar10", "pytorchcv.models.xdensenet_cifar",
      "xdensenet40_2_k24_bc_cifar10", (32, 32), 2e-4, {}),
+    ("diaresnet18", "pytorchcv.models.diaresnet", "diaresnet18",
+     (224, 224), 2e-4, {}),
+    ("diapreresnet20_cifar10", "pytorchcv.models.diapreresnet_cifar",
+     "diapreresnet20_cifar10", (32, 32), 2e-4, {}),
+    ("diaresnet20_cifar10", "pytorchcv.models.diaresnet_cifar",
+     "diaresnet20_cifar10", (32, 32), 2e-4, {}),
 ]
 
 
