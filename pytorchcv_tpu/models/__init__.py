@@ -10,7 +10,9 @@ from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
                resnesta, scnet,
                inceptionresnetv2, inceptionv3, inceptionv4, menet,
                squeezenext, xception,
-               densenet_cifar, nin_cifar, preresnet_cifar, pyramidnet,
+               densenet_cifar, fractalnet_cifar, nin_cifar, preresnet_cifar,
+               pyramidnet, resdropresnet_cifar, rir_cifar,
+               shakedropresnet_cifar, shakeshakeresnet_cifar, wrn1bit_cifar,
                pyramidnet_cifar, resnet_cifar, resnext_cifar,
                sepreresnet_cifar,
                ror_cifar, seresnet_cifar, wrn_cifar,

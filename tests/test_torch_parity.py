@@ -155,6 +155,19 @@ PARITY_CASES = [
      "diapreresnet20_cifar10", (32, 32), 2e-4, {}),
     ("diaresnet20_cifar10", "pytorchcv.models.diaresnet_cifar",
      "diaresnet20_cifar10", (32, 32), 2e-4, {}),
+    ("shakeshakeresnet20_2x16d_cifar10",
+     "pytorchcv.models.shakeshakeresnet_cifar",
+     "shakeshakeresnet20_2x16d_cifar10", (32, 32), 2e-4, {}),
+    ("shakedropresnet20_cifar10", "pytorchcv.models.shakedropresnet_cifar",
+     "shakedropresnet20_cifar10", (32, 32), 2e-4, {}),
+    ("resdropresnet20_cifar10", "pytorchcv.models.resdropresnet_cifar",
+     "resdropresnet20_cifar10", (32, 32), 2e-4, {}),
+    ("rir_cifar10", "pytorchcv.models.rir_cifar", "rir_cifar10", (32, 32),
+     2e-4, {}),
+    ("wrn20_10_1bit_cifar10", "pytorchcv.models.wrn1bit_cifar",
+     "wrn20_10_1bit_cifar10", (32, 32), 2e-4, {}),
+    ("fractalnet_cifar10", "pytorchcv.models.fractalnet_cifar",
+     "fractalnet_cifar10", (32, 32), 2e-4, {}),
 ]
 
 
