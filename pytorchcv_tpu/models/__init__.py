@@ -20,7 +20,8 @@ from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
                preresnet, resnet, resnext, senet, sepreresnet, seresnet,
                resneta, resnetd, seresnext, shufflenet, shufflenetv2,
                shufflenetv2b, simplepose_coco, sknet, pspnet, deeplabv3,
-               efficientnet, efficientnetedge, fbnet, fcn8sd, ghostnet,
+               efficientnet, efficientnetedge, enet, fbnet, fcn8sd, ghostnet,
+               linknet, segnet, unet,
                igcv3, mixnet, mnasnet,
                peleenet,
                proxylessnas, spnasnet,

@@ -185,8 +185,21 @@ class ParallelConcurent(Composed):
                 for layer, x in zip(self.layers, xs)]
 
 
+class IndexedSeq(Composed):
+    """A named scope holding children applied by index (the torch
+    ``down_seq``/``up_seq``/``skip_seq`` Sequentials inside Hourglass)."""
+
+    layers: Sequence[Any] = ()
+
+    @nn.compact
+    def __call__(self, x, i: int, train: bool = False, **kwargs):
+        return self.adopt_call(self.layers[i], x, train=train, **kwargs)
+
+
 class Hourglass(Composed):
-    """Hourglass: down path, up path, skip connections (reference arch.py:168)."""
+    """Hourglass: down path, up path, skip connections (reference
+    arch.py:168). Children live under ``down_seq``/``up_seq``/``skip_seq``
+    scopes, mirroring the torch checkpoint layout."""
 
     down_seq: Sequence[Any] = ()
     up_seq: Sequence[Any] = ()
@@ -196,28 +209,27 @@ class Hourglass(Composed):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cache: dict = {}
+        down = IndexedSeq(layers=self.down_seq, name="down_seq")
+        up = IndexedSeq(layers=self.up_seq, name="up_seq")
+        skip = IndexedSeq(layers=self.skip_seq, name="skip_seq")
         depth = len(self.down_seq)
         down_outs = [x]
-        for down_module in self.down_seq:
-            x = self.adopt_call(down_module, x, train=train, _cache=cache)
+        for di in range(depth):
+            x = down(x, di, train=train)
             down_outs.append(x)
         y = None
         for i in range(len(down_outs)):
             if i != 0:
                 y_ = down_outs[depth - i]
-                y_ = self.adopt_call(self.skip_seq[depth - i], y_,
-                                     train=train, _cache=cache)
+                y_ = skip(y_, depth - i, train=train)
                 if (y_ is not None) and (self.merge_type == "cat"):
                     x = jnp.concatenate([x, y_], axis=-1)
                 elif y_ is not None:
                     x = x + y_
             if i != len(down_outs) - 1:
                 if i == 0 and len(self.skip_seq) > depth:
-                    x = self.adopt_call(self.skip_seq[depth], x,
-                                        train=train, _cache=cache)
-                x = self.adopt_call(self.up_seq[depth - 1 - i], x,
-                                    train=train, _cache=cache)
+                    x = skip(x, depth, train=train)
+                x = up(x, depth - 1 - i, train=train)
         if self.return_first_skip:
             return x, y
         return x

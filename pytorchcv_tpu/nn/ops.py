@@ -26,6 +26,7 @@ __all__ = [
     "ChannelShuffle", "channel_shuffle2", "ChannelShuffle2", "DucBlock",
     "pixel_shuffle", "HeatmapMaxDetBlock", "max_pool2d", "avg_pool2d",
     "global_avg_pool2d", "adaptive_avg_pool2d",
+    "max_pool2d_with_indices", "max_unpool2d",
 ]
 
 
@@ -372,3 +373,64 @@ def adaptive_avg_pool2d(output_size):
         return jnp.stack(rows, axis=1)
 
     return pool
+
+
+def max_pool2d_with_indices(kernel_size, stride=None, padding=0,
+                            ceil_mode: bool = False):
+    """torch nn.MaxPool2d(return_indices=True) for NHWC.
+
+    Returns (pooled, indices) where indices are torch-compatible flat
+    positions into the (unpadded) input's H*W plane, per batch/channel.
+    Implemented as a static window unroll (kernels here are 2x2/3x3) with an
+    argmax over the window axis — branch-free, single fused XLA program.
+    """
+    ks = to_2tuple(kernel_size)
+    st = to_2tuple(stride if stride is not None else kernel_size)
+    pd = to_2tuple(padding)
+
+    def pool(x):
+        b, h, w, c = x.shape
+        pad_cfg = _pool_padding(x, ks, st, pd, ceil_mode)
+        neg = jnp.finfo(x.dtype).min
+        xp = jnp.pad(x, ((0, 0), pad_cfg[0], pad_cfg[1], (0, 0)),
+                     constant_values=neg)
+        hp, wp = xp.shape[1:3]
+        oh = (hp - ks[0]) // st[0] + 1
+        ow = (wp - ks[1]) // st[1] + 1
+        vals, poss = [], []
+        for di in range(ks[0]):
+            for dj in range(ks[1]):
+                window = xp[:, di:di + (oh - 1) * st[0] + 1:st[0],
+                            dj:dj + (ow - 1) * st[1] + 1:st[1], :]
+                vals.append(window)
+                # source coords in the UNPADDED input plane
+                rows = jnp.arange(oh) * st[0] + di - pad_cfg[0][0]
+                cols = jnp.arange(ow) * st[1] + dj - pad_cfg[1][0]
+                pos = rows[:, None] * w + cols[None, :]
+                poss.append(jnp.broadcast_to(pos[None, :, :, None],
+                                             window.shape))
+        stacked = jnp.stack(vals, axis=0)           # (K, B, OH, OW, C)
+        positions = jnp.stack(poss, axis=0)
+        k_best = jnp.argmax(stacked, axis=0)
+        pooled = jnp.take_along_axis(stacked, k_best[None], axis=0)[0]
+        indices = jnp.take_along_axis(positions, k_best[None], axis=0)[0]
+        return pooled, indices.astype(jnp.int32)
+
+    return pool
+
+
+def max_unpool2d(x, indices, kernel_size=2, out_size=None):
+    """torch nn.MaxUnpool2d for NHWC: scatter pooled values back to the
+    positions recorded by :func:`max_pool2d_with_indices`."""
+    b, oh, ow, c = x.shape
+    if out_size is None:
+        out_size = (oh * to_2tuple(kernel_size)[0],
+                    ow * to_2tuple(kernel_size)[1])
+    h, w = out_size
+    flat_vals = x.reshape(b, oh * ow, c)
+    flat_idx = indices.reshape(b, oh * ow, c)
+    out = jnp.zeros((b, h * w, c), x.dtype)
+    bi = jnp.arange(b)[:, None, None]
+    ci = jnp.arange(c)[None, None, :]
+    out = out.at[bi, flat_idx, ci].set(flat_vals)
+    return out.reshape(b, h, w, c)

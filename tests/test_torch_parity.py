@@ -168,6 +168,14 @@ PARITY_CASES = [
      "wrn20_10_1bit_cifar10", (32, 32), 2e-4, {}),
     ("fractalnet_cifar10", "pytorchcv.models.fractalnet_cifar",
      "fractalnet_cifar10", (32, 32), 2e-4, {}),
+    ("enet_cityscapes", "pytorchcv.models.enet", "enet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("segnet_cityscapes", "pytorchcv.models.segnet", "segnet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("unet_cityscapes", "pytorchcv.models.unet", "unet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("linknet_cityscapes", "pytorchcv.models.linknet", "linknet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
 ]
 
 
