@@ -159,11 +159,13 @@ class ENetStage(nn.Module):
 
 
 class ENetMixDownBlock(nn.Module):
-    """Parallel pool + strided conv stem (reference enet.py:320)."""
+    """Parallel pool + strided conv stem (reference enet.py:320).
+    ``activation=None`` means the reference's default ReLU."""
 
     out_channels: int = 0
     bias: bool = False
     bn_eps: float = 1e-5
+    activation: Any = None
     correct_size_mismatch: bool = False
 
     @nn.compact
@@ -179,9 +181,11 @@ class ENetMixDownBlock(nn.Module):
                               (diff_h // 2, diff_h - diff_h // 2),
                               (diff_w // 2, diff_w - diff_w // 2), (0, 0)))
         x = jnp.concatenate([y2, y1], axis=-1)
+        activation = self.activation if self.activation is not None \
+            else lambda_relu()
         return NormActivation(
             normalization=lambda_batchnorm2d(eps=self.bn_eps),
-            activation=lambda_prelu(num_parameters=1),
+            activation=activation,
             name="norm_activ")(x, train=train)
 
 
@@ -210,6 +214,7 @@ class ENet(Composed):
         x = ENetMixDownBlock(
             out_channels=self.init_block_channels, bias=False,
             bn_eps=self.bn_eps,
+            activation=lambda_prelu(num_parameters=1),
             correct_size_mismatch=self.correct_size_mismatch,
             name="stem")(x, train=train)
         stages = []

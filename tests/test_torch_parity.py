@@ -176,6 +176,14 @@ PARITY_CASES = [
      (64, 64), 2e-4, {"in_size": (64, 64)}),
     ("linknet_cityscapes", "pytorchcv.models.linknet", "linknet_cityscapes",
      (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("erfnet_cityscapes", "pytorchcv.models.erfnet", "erfnet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("esnet_cityscapes", "pytorchcv.models.esnet", "esnet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("edanet_cityscapes", "pytorchcv.models.edanet", "edanet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("lednet_cityscapes", "pytorchcv.models.lednet", "lednet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
 ]
 
 
