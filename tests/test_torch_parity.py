@@ -184,6 +184,13 @@ PARITY_CASES = [
      (64, 64), 2e-4, {"in_size": (64, 64)}),
     ("lednet_cityscapes", "pytorchcv.models.lednet", "lednet_cityscapes",
      (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
+    ("fastscnn_cityscapes", "pytorchcv.models.fastscnn",
+     "fastscnn_cityscapes", (64, 64), 2e-4,
+     {"in_size": (64, 64), "fixed_size": True, "aux": True}),
+    ("ctxnet_cityscapes", "pytorchcv.models.contextnet",
+     "ctxnet_cityscapes", (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("fpenet_cityscapes", "pytorchcv.models.fpenet", "fpenet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
 ]
 
 
