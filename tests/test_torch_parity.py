@@ -191,6 +191,10 @@ PARITY_CASES = [
      "ctxnet_cityscapes", (64, 64), 2e-4, {"in_size": (64, 64)}),
     ("fpenet_cityscapes", "pytorchcv.models.fpenet", "fpenet_cityscapes",
      (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("dabnet_cityscapes", "pytorchcv.models.dabnet", "dabnet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
+    ("cgnet_cityscapes", "pytorchcv.models.cgnet", "cgnet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
 ]
 
 
