@@ -21,7 +21,8 @@ from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
                resneta, resnetd, seresnext, shufflenet, shufflenetv2,
                shufflenetv2b, simplepose_coco, sknet, pspnet, deeplabv3,
                efficientnet, efficientnetedge, enet, fbnet, fcn8sd, ghostnet,
-               cgnet, contextnet, dabnet, edanet, erfnet, esnet, fastscnn,
+               bisenet, cgnet, contextnet, dabnet, danet, edanet, erfnet,
+               esnet, fastscnn,
                fpenet, lednet,
                linknet, segnet, unet,
                igcv3, mixnet, mnasnet,

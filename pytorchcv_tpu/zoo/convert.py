@@ -116,8 +116,9 @@ def _convert_leaf(flax_path: Tuple[str, ...], target_shape, collection: str,
         return take("weight")
     if leaf in ("bias", "weight"):
         return take(leaf)
-    raise ConversionError(f"unknown param leaf {leaf!r} at "
-                          f"{'/'.join(flax_path)}")
+    # Custom scalar/vector parameters keep their torch name verbatim
+    # (e.g. DANet ScaleBlock ``alpha``, danet.py:22).
+    return take(leaf)
 
 
 def convert_state_dict(state_dict: Dict[str, Any], shape_variables,

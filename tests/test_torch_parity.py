@@ -195,6 +195,12 @@ PARITY_CASES = [
      (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
     ("cgnet_cityscapes", "pytorchcv.models.cgnet", "cgnet_cityscapes",
      (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
+    ("bisenet_resnet18_celebamaskhq", "pytorchcv.models.bisenet",
+     "bisenet_resnet18_celebamaskhq", (64, 64), 2e-4,
+     {"in_size": (64, 64)}),
+    ("danet_resnetd50b_cityscapes", "pytorchcv.models.danet",
+     "danet_resnetd50b_cityscapes", (64, 64), 5e-4,
+     {"in_size": (64, 64), "aux": True}),
 ]
 
 
