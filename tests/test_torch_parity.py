@@ -201,6 +201,13 @@ PARITY_CASES = [
     ("danet_resnetd50b_cityscapes", "pytorchcv.models.danet",
      "danet_resnetd50b_cityscapes", (64, 64), 5e-4,
      {"in_size": (64, 64), "aux": True}),
+    ("icnet_resnetd50b_cityscapes", "pytorchcv.models.icnet",
+     "icnet_resnetd50b_cityscapes", (64, 64), 5e-4,
+     {"in_size": (64, 64), "aux": True}),
+    ("sqnet_cityscapes", "pytorchcv.models.sqnet", "sqnet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64)}),
+    ("espcnet_cityscapes", "pytorchcv.models.espcnet", "espcnet_cityscapes",
+     (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
 ]
 
 
