@@ -21,7 +21,7 @@ from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
                resneta, resnetd, seresnext, shufflenet, shufflenetv2,
                shufflenetv2b, simplepose_coco, sknet, pspnet, deeplabv3,
                efficientnet, efficientnetedge, enet, fbnet, fcn8sd, ghostnet,
-               bisenet, cgnet, icnet, contextnet, dabnet, danet, edanet, erfnet,
+               bisenet, centernet, cgnet, icnet, lffd, contextnet, dabnet, danet, edanet, erfnet,
                esnet, fastscnn,
                fpenet, lednet,
                linknet, segnet, sqnet, espcnet, unet,

@@ -31,13 +31,16 @@ class PreResBlock(nn.Module):
     out_channels: int = 0
     stride: IntPair = 1
     bias: bool = False
+    use_bn: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x, x_pre_activ = pre_conv3x3_block(
             out_channels=self.out_channels, stride=self.stride,
-            bias=self.bias, return_preact=True, name="conv1")(x, train=train)
+            bias=self.bias, use_bn=self.use_bn, return_preact=True,
+            name="conv1")(x, train=train)
         x = pre_conv3x3_block(out_channels=self.out_channels, bias=self.bias,
+                              use_bn=self.use_bn,
                               name="conv2")(x, train=train)
         return x, x_pre_activ
 
@@ -71,6 +74,7 @@ class PreResUnit(nn.Module):
     out_channels: int = 0
     stride: IntPair = 1
     bias: bool = False
+    use_bn: bool = True
     bottleneck: bool = True
     conv1_stride: bool = False
 
@@ -78,7 +82,11 @@ class PreResUnit(nn.Module):
     def __call__(self, x, train: bool = False):
         resize_identity = (x.shape[-1] != self.out_channels) or \
             (self.stride != 1)
-        identity = x
+        # Reference-behavior quirk: with use_bn=False the torch PreConvBlock's
+        # INPLACE ReLU aliases the unit input, so the residual identity is
+        # effectively relu(x), not x (preresnet.py:105 + conv.py inplace
+        # activ; only the no-BN path, e.g. LFFD-20, hits this).
+        identity = x if self.use_bn else nn.relu(x)
         if self.bottleneck:
             x, x_pre_activ = PreResBottleneck(
                 out_channels=self.out_channels, stride=self.stride,
@@ -86,7 +94,8 @@ class PreResUnit(nn.Module):
         else:
             x, x_pre_activ = PreResBlock(
                 out_channels=self.out_channels, stride=self.stride,
-                bias=self.bias, name="body")(x, train=train)
+                bias=self.bias, use_bn=self.use_bn,
+                name="body")(x, train=train)
         if resize_identity:
             identity = conv1x1(out_channels=self.out_channels,
                                stride=self.stride, bias=self.bias,

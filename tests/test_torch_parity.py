@@ -208,7 +208,19 @@ PARITY_CASES = [
      (64, 64), 2e-4, {"in_size": (64, 64)}),
     ("espcnet_cityscapes", "pytorchcv.models.espcnet", "espcnet_cityscapes",
      (64, 64), 2e-4, {"in_size": (64, 64), "fixed_size": True}),
+    ("centernet_resnet18_voc", "pytorchcv.models.centernet",
+     "centernet_resnet18_voc", (128, 128), 2e-4, {"return_heatmap": True}),
+    ("lffd20x5s320v2_widerface", "pytorchcv.models.lffd",
+     "lffd20x5s320v2_widerface", (128, 128), 2e-4, {}),
+    ("lffd25x8s560v1_widerface", "pytorchcv.models.lffd",
+     "lffd25x8s560v1_widerface", (128, 128), 2e-4, {}),
 ]
+
+
+# Normalization-free deep nets (LFFD-20 stacks 20 BN-less pre-act layers)
+# explode at random init; fp32 drift then swamps the relative-error metric.
+# These cases run in float64, where exact math verifies structure.
+F64_CASES = {"lffd20x5s320v2_widerface"}
 
 
 def _forward_pair(name, ref_module, ref_ctor, size, kwargs):
@@ -225,18 +237,30 @@ def _forward_pair(name, ref_module, ref_ctor, size, kwargs):
     mod = importlib.import_module(ref_module)
     torch.manual_seed(0)
     ref = getattr(mod, ref_ctor)(pretrained=False, **kwargs).eval()
+    use_f64 = name in F64_CASES
+    if use_f64:
+        jax.config.update("jax_enable_x64", True)
+        ref = ref.double()
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
 
     model = ptc.get_model(name, init=False, **kwargs)
     variables = convert_state_dict(sd, model.shape_variables())
-    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    fdtype = jnp.float64 if use_f64 else jnp.float32
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, fdtype if a.dtype.kind == "f" else None),
+        variables)
 
     h, w = size
-    x = np.random.RandomState(0).randn(1, 3, h, w).astype(np.float32)
-    with torch.no_grad():
-        y_ref = ref(torch.from_numpy(x))
-    y = model.module.apply(
-        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    x = np.random.RandomState(0).randn(1, 3, h, w).astype(
+        np.float64 if use_f64 else np.float32)
+    try:
+        with torch.no_grad():
+            y_ref = ref(torch.from_numpy(x))
+        y = model.module.apply(
+            variables, jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    finally:
+        if use_f64:
+            jax.config.update("jax_enable_x64", False)
     return y, y_ref
 
 
