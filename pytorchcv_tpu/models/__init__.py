@@ -19,7 +19,9 @@ from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
                densenet, dpn, hrnet, mobilenet, mobilenetv2, mobilenetv3,
                preresnet, resnet, resnext, senet, sepreresnet, seresnet,
                resneta, resnetd, seresnext, shufflenet, shufflenetv2,
-               shufflenetv2b, simplepose_coco, sknet, pspnet, deeplabv3,
+               shufflenetv2b, simplepose_coco, simpleposemobile_coco,
+               alphapose_coco, fastseresnet, lwopenpose_cmupan,
+               sknet, pspnet, deeplabv3,
                efficientnet, efficientnetedge, enet, fbnet, fcn8sd, ghostnet,
                bisenet, centernet, cgnet, icnet, lffd, contextnet, dabnet, danet, edanet, erfnet,
                esnet, fastscnn,

@@ -57,18 +57,20 @@ def conv1x1(in_channels=None, out_channels=0, stride=1, groups=1, bias=False,
 
 
 def conv3x3(in_channels=None, out_channels=0, stride=1, padding=1, dilation=1,
-            groups=1, bias=False, name="conv"):
+            groups=1, bias=False, name="conv", **kw):
     """3x3 convolution layer (reference conv.py:124)."""
     del in_channels
     return _conv2d(out_channels, 3, stride=stride, padding=padding,
-                   dilation=dilation, groups=groups, bias=bias, name=name)
+                   dilation=dilation, groups=groups, bias=bias, name=name,
+                   **kw)
 
 
 def depthwise_conv3x3(channels=0, stride=1, padding=1, dilation=1, bias=False,
-                      name="conv"):
+                      name="conv", **kw):
     """Depthwise 3x3 convolution layer (reference conv.py:167)."""
     return _conv2d(channels, 3, stride=stride, padding=padding,
-                   dilation=dilation, groups=channels, bias=bias, name=name)
+                   dilation=dilation, groups=channels, bias=bias, name=name,
+                   **kw)
 
 
 class ConvBlock(nn.Module):

@@ -214,6 +214,23 @@ PARITY_CASES = [
      "lffd20x5s320v2_widerface", (128, 128), 2e-4, {}),
     ("lffd25x8s560v1_widerface", "pytorchcv.models.lffd",
      "lffd25x8s560v1_widerface", (128, 128), 2e-4, {}),
+    ("simplepose_mobile_mobilenetv3_small_w1_coco",
+     "pytorchcv.models.simpleposemobile_coco",
+     "simplepose_mobile_mobilenetv3_small_w1_coco", (256, 192), 2e-4,
+     {"return_heatmap": True}),
+    ("simplepose_mobile_resnet18_coco",
+     "pytorchcv.models.simpleposemobile_coco",
+     "simplepose_mobile_resnet18_coco", (256, 192), 2e-4,
+     {"return_heatmap": True}),
+    ("alphapose_fastseresnet101b_coco", "pytorchcv.models.alphapose_coco",
+     "alphapose_fastseresnet101b_coco", (256, 192), 2e-4,
+     {"return_heatmap": True}),
+    ("lwopenpose2d_mobilenet_cmupan_coco",
+     "pytorchcv.models.lwopenpose_cmupan",
+     "lwopenpose2d_mobilenet_cmupan_coco", (128, 128), 2e-4, {}),
+    ("lwopenpose3d_mobilenet_cmupan_coco",
+     "pytorchcv.models.lwopenpose_cmupan",
+     "lwopenpose3d_mobilenet_cmupan_coco", (128, 128), 2e-4, {}),
 ]
 
 
