@@ -44,6 +44,10 @@ class Model:
         return int(getattr(self.module, "num_classes", 0))
 
     def dummy_input(self, batch: int = 1, dtype=jnp.float32):
+        # Non-image models (e.g. ASR) declare their own example inputs.
+        maker = getattr(self.module, "dummy_inputs", None)
+        if maker is not None:
+            return maker(batch)
         h, w = self.in_size
         return jnp.zeros((batch, h, w, self.in_channels), dtype)
 
@@ -60,6 +64,12 @@ class Model:
     def shape_variables(self, batch: int = 1):
         """Variable *shapes* via jax.eval_shape — no FLOPs executed."""
         rng = jax.random.PRNGKey(0)
+        maker = getattr(self.module, "dummy_inputs", None)
+        if maker is not None:
+            args = maker(batch)
+            args = args if isinstance(args, tuple) else (args,)
+            return jax.eval_shape(
+                functools.partial(self.module.init, train=False), rng, *args)
         x = jax.ShapeDtypeStruct((batch, *self.in_size, self.in_channels),
                                  jnp.float32)
         return jax.eval_shape(

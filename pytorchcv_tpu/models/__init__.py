@@ -27,7 +27,7 @@ from . import (airnet, alexnet, bagnet, bamresnet, bninception,  # noqa: F401
                esnet, fastscnn,
                fpenet, lednet,
                linknet, segnet, sqnet, espcnet, unet,
-               igcv3, mixnet, mnasnet,
+               igcv3, jasper, jasperdr, quartznet, mixnet, mnasnet,
                peleenet,
                proxylessnas, spnasnet,
                regnet, vovnet,
