@@ -57,8 +57,9 @@ class Model:
         if isinstance(rng, int):
             rng = jax.random.PRNGKey(rng)
         x = self.dummy_input(batch, dtype)
+        args = x if isinstance(x, tuple) else (x,)
         variables = jax.jit(functools.partial(self.module.init, train=False))(
-            rng, x)
+            rng, *args)
         return dataclasses.replace(self, variables=variables)
 
     def shape_variables(self, batch: int = 1):
@@ -79,10 +80,16 @@ class Model:
         """Output ShapeDtypeStruct(s) via jax.eval_shape."""
         if variables is None:
             variables = self.variables or self.shape_variables(batch)
-        x = jax.ShapeDtypeStruct((batch, *self.in_size, self.in_channels),
-                                 jnp.float32)
+        maker = getattr(self.module, "dummy_inputs", None)
+        if maker is not None:
+            args = maker(batch)
+            args = args if isinstance(args, tuple) else (args,)
+        else:
+            args = (jax.ShapeDtypeStruct(
+                (batch, *self.in_size, self.in_channels), jnp.float32),)
         return jax.eval_shape(
-            functools.partial(self.module.apply, train=False), variables, x)
+            functools.partial(self.module.apply, train=False), variables,
+            *args)
 
     def num_params(self) -> int:
         """Trainable parameter count (torch ``calc_net_weight_count`` parity:
@@ -90,25 +97,30 @@ class Model:
         variables = self.variables or self.shape_variables()
         return _leaf_count(variables.get("params", {}))
 
-    def apply(self, variables, x, train: bool = False, rngs=None, **kwargs):
+    def apply(self, variables, x, *extra, train: bool = False, rngs=None,
+              **kwargs):
         if train:
             if rngs is None:
                 rngs = {"dropout": jax.random.PRNGKey(0)}
-            return self.module.apply(variables, x, train=True,
+            return self.module.apply(variables, x, *extra, train=True,
                                      mutable=["batch_stats"], rngs=rngs,
                                      **kwargs)
-        return self.module.apply(variables, x, train=False, **kwargs)
+        return self.module.apply(variables, x, *extra, train=False, **kwargs)
 
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, *extra, train: bool = False):
         assert self.variables is not None, "call .init() first"
         if train:
-            return self.apply(self.variables, x, train=True)
-        return self._jit_infer(x)
+            return self.apply(self.variables, x, *extra, train=True)
+        return self._jit_infer(x, *extra)
 
     @functools.cached_property
     def _jit_infer(self):
-        return jax.jit(
-            lambda x: self.module.apply(self.variables, x, train=False))
+        # Variables are a jit ARGUMENT, not a closure: closed-over arrays
+        # are baked into the HLO as constants, which bloats the program
+        # (and overflows remote-compile payloads) for large models.
+        fn = jax.jit(lambda variables, *a: self.module.apply(
+            variables, *a, train=False))
+        return lambda *a: fn(self.variables, *a)
 
     def as_bfloat16(self) -> "Model":
         """Cast floating-point variables to bfloat16 (inference policy).

@@ -26,5 +26,5 @@ from .ops import (BreakBlock, ChannelShuffle, ChannelShuffle2, DenseBlock,
                   DucBlock, HeatmapMaxDetBlock, Identity, InterpolationBlock,
                   NormActivation, SelectableDense, adaptive_avg_pool2d,
                   avg_pool2d, channel_shuffle, channel_shuffle2, flatten,
-                  global_avg_pool2d, interpolate, max_pool2d,
+                  global_avg_pool2d, grid_sample, interpolate, max_pool2d,
                   max_pool2d_with_indices, max_unpool2d, pixel_shuffle)

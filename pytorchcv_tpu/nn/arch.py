@@ -220,12 +220,12 @@ class Hourglass(Composed):
         y = None
         for i in range(len(down_outs)):
             if i != 0:
-                y_ = down_outs[depth - i]
-                y_ = skip(y_, depth - i, train=train)
-                if (y_ is not None) and (self.merge_type == "cat"):
-                    x = jnp.concatenate([x, y_], axis=-1)
-                elif y_ is not None:
-                    x = x + y_
+                y = down_outs[depth - i]
+                y = skip(y, depth - i, train=train)
+                if (y is not None) and (self.merge_type == "cat"):
+                    x = jnp.concatenate([x, y], axis=-1)
+                elif y is not None:
+                    x = x + y
             if i != len(down_outs) - 1:
                 if i == 0 and len(self.skip_seq) > depth:
                     x = skip(x, depth, train=train)
@@ -255,27 +255,28 @@ class SesquialteralHourglass(Composed):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cache: dict = {}
-
-        def acall(m, v):
-            return self.adopt_call(m, v, train=train, _cache=cache)
-
-        y = acall(self.skip1_seq[0], x)
+        down1 = IndexedSeq(layers=self.down1_seq, name="down1_seq")
+        skip1 = IndexedSeq(layers=self.skip1_seq, name="skip1_seq")
+        up = IndexedSeq(layers=self.up_seq, name="up_seq")
+        skip2 = IndexedSeq(layers=self.skip2_seq, name="skip2_seq")
+        down2 = IndexedSeq(layers=self.down2_seq, name="down2_seq")
+        depth = len(self.down1_seq)
+        y = skip1(x, 0, train=train)
         skip1_outs = [y]
-        for i in range(len(self.down1_seq)):
-            x = acall(self.down1_seq[i], x)
-            y = acall(self.skip1_seq[i + 1], x)
+        for i in range(depth):
+            x = down1(x, i, train=train)
+            y = skip1(x, i + 1, train=train)
             skip1_outs.append(y)
-        x = skip1_outs[len(self.down1_seq)]
-        y = acall(self.skip2_seq[0], x)
+        x = skip1_outs[depth]
+        y = skip2(x, 0, train=train)
         skip2_outs = [y]
-        for i in range(len(self.up_seq)):
-            x = acall(self.up_seq[i], x)
-            x = self._merge(x, skip1_outs[len(self.down1_seq) - 1 - i])
-            y = acall(self.skip2_seq[i + 1], x)
+        for i in range(depth):
+            x = up(x, i, train=train)
+            x = self._merge(x, skip1_outs[depth - 1 - i])
+            y = skip2(x, i + 1, train=train)
             skip2_outs.append(y)
-        x = acall(self.skip2_seq[len(self.up_seq)], x)
-        for i in range(len(self.down2_seq)):
-            x = acall(self.down2_seq[i], x)
-            x = self._merge(x, skip2_outs[len(self.down2_seq) - 1 - i])
+        x = skip2(x, depth, train=train)
+        for i in range(depth):
+            x = down2(x, i, train=train)
+            x = self._merge(x, skip2_outs[depth - 1 - i])
         return x

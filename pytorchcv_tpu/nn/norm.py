@@ -103,7 +103,7 @@ def lambda_batchnorm2d(eps: float = 1e-5):
     return _tag(lambda name="bn", **kw: BatchNorm(epsilon=eps, name=name))
 
 
-def lambda_instancenorm2d(eps: float = 1e-5, affine: bool = True):
+def lambda_instancenorm2d(eps: float = 1e-5, affine: bool = False):
     return _tag(lambda name="bn", **kw: InstanceNorm(epsilon=eps, affine=affine, name=name))
 
 

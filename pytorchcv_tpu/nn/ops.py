@@ -26,7 +26,7 @@ __all__ = [
     "ChannelShuffle", "channel_shuffle2", "ChannelShuffle2", "DucBlock",
     "pixel_shuffle", "HeatmapMaxDetBlock", "max_pool2d", "avg_pool2d",
     "global_avg_pool2d", "adaptive_avg_pool2d",
-    "max_pool2d_with_indices", "max_unpool2d",
+    "max_pool2d_with_indices", "max_unpool2d", "grid_sample",
 ]
 
 
@@ -434,3 +434,54 @@ def max_unpool2d(x, indices, kernel_size=2, out_size=None):
     ci = jnp.arange(c)[None, None, :]
     out = out.at[bi, flat_idx, ci].set(flat_vals)
     return out.reshape(b, h, w, c)
+
+
+def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
+                align_corners: bool = False):
+    """torch F.grid_sample for NHWC inputs (reference usage:
+    raft.py:128 bilinear_sampler, propainter_ip.py:18 flow_warp,
+    superpointnet.py:138 descriptor interpolation).
+
+    ``x``: (B, H, W, C); ``grid``: (B, Hg, Wg, 2) with normalized (x, y) in
+    [-1, 1]. Gather-heavy: implemented as 4 vectorized takes + lerp, which
+    XLA lowers to dynamic-gathers — the TPU-friendly formulation.
+    """
+    b, h, w, c = x.shape
+    gx = grid[..., 0]
+    gy = grid[..., 1]
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (w - 1)
+        fy = (gy + 1.0) * 0.5 * (h - 1)
+    else:
+        fx = (gx + 1.0) * 0.5 * w - 0.5
+        fy = (gy + 1.0) * 0.5 * h - 0.5
+
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    wx = fx - x0
+    wy = fy - y0
+
+    def gather(ix, iy):
+        inb = ((ix >= 0) & (ix <= w - 1) & (iy >= 0) &
+               (iy <= h - 1)).astype(x.dtype)
+        ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
+        bi = jnp.arange(b).reshape(b, *([1] * (grid.ndim - 2)))
+        vals = x[bi, iyc, ixc]                     # (B, Hg, Wg, C)
+        if padding_mode == "zeros":
+            vals = vals * inb[..., None]
+        return vals
+
+    if mode == "nearest":
+        ix = jnp.round(fx)
+        iy = jnp.round(fy)
+        return gather(ix, iy)
+
+    v00 = gather(x0, y0)
+    v01 = gather(x0 + 1, y0)
+    v10 = gather(x0, y0 + 1)
+    v11 = gather(x0 + 1, y0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
+            v10 * (1 - wx) * wy + v11 * wx * wy)

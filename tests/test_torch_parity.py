@@ -231,6 +231,24 @@ PARITY_CASES = [
     ("lwopenpose3d_mobilenet_cmupan_coco",
      "pytorchcv.models.lwopenpose_cmupan",
      "lwopenpose3d_mobilenet_cmupan_coco", (128, 128), 2e-4, {}),
+    ("ibppose_coco", "pytorchcv.models.ibppose_coco", "ibppose_coco",
+     (128, 128), 2e-4, {"in_size": (128, 128)}),
+    ("fishnet99", "pytorchcv.models.fishnet", "fishnet99", (224, 224),
+     2e-4, {}),
+    ("octresnet10_ad2", "pytorchcv.models.octresnet", "octresnet10_ad2",
+     (224, 224), 2e-4, {}),
+    ("tresnet_m", "pytorchcv.models.tresnet", "tresnet_m", (224, 224),
+     2e-4, {}),
+    ("sharesnet18", "pytorchcv.models.sharesnet", "sharesnet18", (224, 224),
+     2e-4, {}),
+    ("sharesnet50b", "pytorchcv.models.sharesnet", "sharesnet50b",
+     (224, 224), 2e-4, {}),
+    ("resattnet56", "pytorchcv.models.resattnet", "resattnet56", (224, 224),
+     2e-4, {}),
+    ("revnet38", "pytorchcv.models.revnet", "revnet38", (224, 224), 2e-4,
+     {}),
+    ("irevnet301", "pytorchcv.models.irevnet", "irevnet301", (224, 224),
+     2e-4, {}),
 ]
 
 
