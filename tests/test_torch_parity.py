@@ -249,6 +249,12 @@ PARITY_CASES = [
      {}),
     ("irevnet301", "pytorchcv.models.irevnet", "irevnet301", (224, 224),
      2e-4, {}),
+    ("dicenet_w1", "pytorchcv.models.dicenet", "dicenet_w1", (224, 224),
+     2e-4, {}),
+    ("espnetv2_w1", "pytorchcv.models.espnetv2", "espnetv2_w1", (224, 224),
+     2e-4, {}),
+    ("sinet_cityscapes", "pytorchcv.models.sinet", "sinet_cityscapes",
+     (128, 256), 2e-4, {"in_size": (128, 256)}),
 ]
 
 
