@@ -110,6 +110,12 @@ def _convert_leaf(flax_path: Tuple[str, ...], target_shape, collection: str,
                 f"conv1d kernel shape mismatch at {'/'.join(flax_path)}")
         if w.ndim == 2:
             return w.transpose(1, 0)
+        if w.ndim == 5 and w.shape[-1] == 1 and w.shape[-2] == 1:
+            # Conv3d used as a channel-axis 1D conv (ChannelNet's
+            # channel-wise conv): (O, I, D, 1, 1) -> (D, I, O)
+            cand = w[:, :, :, 0, 0].transpose(2, 1, 0)
+            if cand.shape == tuple(target_shape):
+                return cand
         raise ConversionError(
             f"unsupported kernel rank {w.ndim} at {'/'.join(flax_path)}")
     if leaf == "scale":

@@ -255,6 +255,14 @@ PARITY_CASES = [
      2e-4, {}),
     ("sinet_cityscapes", "pytorchcv.models.sinet", "sinet_cityscapes",
      (128, 256), 2e-4, {"in_size": (128, 256)}),
+    ("channelnet", "pytorchcv.models.channelnet", "channelnet", (224, 224),
+     2e-4, {}),
+    ("msdnet22", "pytorchcv.models.msdnet", "msdnet22", (224, 224), 2e-4,
+     {}),
+    ("msdnet22_cifar10", "pytorchcv.models.msdnet_cifar10",
+     "msdnet22_cifar10", (32, 32), 2e-4, {}),
+    ("isqrtcovresnet18", "pytorchcv.models.isqrtcovresnet",
+     "isqrtcovresnet18", (224, 224), 2e-4, {}),
 ]
 
 
