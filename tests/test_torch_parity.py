@@ -263,6 +263,11 @@ PARITY_CASES = [
      "msdnet22_cifar10", (32, 32), 2e-4, {}),
     ("isqrtcovresnet18", "pytorchcv.models.isqrtcovresnet",
      "isqrtcovresnet18", (224, 224), 2e-4, {}),
+    ("nasnet_4a1056", "pytorchcv.models.nasnet", "nasnet_4a1056",
+     (224, 224), 2e-4, {}),
+    ("pnasnet5large", "pytorchcv.models.pnasnet", "pnasnet5large",
+     (331, 331), 2e-4, {}),
+    ("darts", "pytorchcv.models.darts", "darts", (224, 224), 2e-4, {}),
 ]
 
 
