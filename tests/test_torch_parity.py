@@ -268,6 +268,8 @@ PARITY_CASES = [
     ("pnasnet5large", "pytorchcv.models.pnasnet", "pnasnet5large",
      (331, 331), 2e-4, {}),
     ("darts", "pytorchcv.models.darts", "darts", (224, 224), 2e-4, {}),
+    ("polynet", "pytorchcv.models.polynet", "polynet", (331, 331), 2e-4,
+     {}),
 ]
 
 
