@@ -51,6 +51,8 @@ def test_output_shape(name):
     meta = get_model_metainfo_dict()[name]
     model = ptc.get_model(name, init=False)
     out = model.eval_output_shape(batch=2)
+    if isinstance(out, (tuple, list)):
+        out = out[0]  # aux-output models: main head first
     if meta["dataset"] in ("in1k",):
         assert out.shape == (2, 1000)
     elif meta["dataset"] in ("cub",):

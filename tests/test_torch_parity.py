@@ -270,6 +270,10 @@ PARITY_CASES = [
     ("darts", "pytorchcv.models.darts", "darts", (224, 224), 2e-4, {}),
     ("polynet", "pytorchcv.models.polynet", "polynet", (331, 331), 2e-4,
      {}),
+    # device-side NMS + crop-resample must pick the same parts as the
+    # reference's host-side numpy pipeline
+    ("ntsnet_cub", "pytorchcv.models.ntsnet_cub", "ntsnet_cub", (448, 448),
+     2e-4, {"aux": False}),
 ]
 
 
