@@ -149,7 +149,20 @@ def interpolate(x, size: Tuple[int, int], mode: str = "bilinear",
         return _resize_align_corners(x, out_h, out_w, "nearest")
     if align_corners:
         return _resize_align_corners(x, out_h, out_w, "bilinear")
-    return jax.image.resize(x, (b, out_h, out_w, c), method="bilinear")
+    # torch bilinear, align_corners=False, antialias=False: sample at
+    # half-pixel centers src = (i + 0.5) * in/out - 0.5 (NOT jax.image's
+    # area-antialiased resize, which differs on downsampling)
+    ys = np.clip((np.arange(out_h) + 0.5) * h / out_h - 0.5, 0, h - 1)
+    xs = np.clip((np.arange(out_w) + 0.5) * w / out_w - 0.5, 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(np.int32), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int32), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = jnp.asarray(ys - y0, dtype=x.dtype).reshape(1, out_h, 1, 1)
+    wx = jnp.asarray(xs - x0, dtype=x.dtype).reshape(1, 1, out_w, 1)
+    top = x[:, y0][:, :, x0] * (1 - wx) + x[:, y0][:, :, x1] * wx
+    bot = x[:, y1][:, :, x0] * (1 - wx) + x[:, y1][:, :, x1] * wx
+    return top * (1 - wy) + bot * wy
 
 
 class InterpolationBlock(nn.Module):

@@ -110,12 +110,17 @@ def _convert_leaf(flax_path: Tuple[str, ...], target_shape, collection: str,
                 f"conv1d kernel shape mismatch at {'/'.join(flax_path)}")
         if w.ndim == 2:
             return w.transpose(1, 0)
-        if w.ndim == 5 and w.shape[-1] == 1 and w.shape[-2] == 1:
-            # Conv3d used as a channel-axis 1D conv (ChannelNet's
-            # channel-wise conv): (O, I, D, 1, 1) -> (D, I, O)
-            cand = w[:, :, :, 0, 0].transpose(2, 1, 0)
+        if w.ndim == 5:
+            # Conv3d: (O, I, D, H, W) -> DHWIO
+            cand = w.transpose(2, 3, 4, 1, 0)
             if cand.shape == tuple(target_shape):
                 return cand
+            if w.shape[-1] == 1 and w.shape[-2] == 1:
+                # Conv3d used as a channel-axis 1D conv (ChannelNet's
+                # channel-wise conv): (O, I, D, 1, 1) -> (D, I, O)
+                cand = w[:, :, :, 0, 0].transpose(2, 1, 0)
+                if cand.shape == tuple(target_shape):
+                    return cand
         raise ConversionError(
             f"unsupported kernel rank {w.ndim} at {'/'.join(flax_path)}")
     if leaf == "scale":
@@ -166,7 +171,10 @@ def convert_state_dict(state_dict: Dict[str, Any], shape_variables,
         leftovers = [k for k, v in torch_tensors.items()
                      if k not in consumed
                      and _tid(v) not in consumed_ids
-                     and not k.endswith("num_batches_tracked")]
+                     and not k.endswith("num_batches_tracked")
+                     # static derived buffers recomputed at trace time
+                     # (ProPainter attention's rolled-token indices)
+                     and not k.endswith("valid_ind_rolled")]
         if leftovers:
             raise ConversionError(
                 f"{len(leftovers)} torch keys unconsumed, e.g. "

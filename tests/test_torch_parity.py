@@ -274,6 +274,7 @@ PARITY_CASES = [
     # reference's host-side numpy pipeline
     ("ntsnet_cub", "pytorchcv.models.ntsnet_cub", "ntsnet_cub", (448, 448),
      2e-4, {"aux": False}),
+    ("prnet", "pytorchcv.models.prnet", "prnet", (256, 256), 2e-4, {}),
 ]
 
 
