@@ -1,0 +1,193 @@
+"""Fused on-device ImageNet eval preprocessing (north-star requirement).
+
+The reference's eval protocol (reference README.md:157-167) is the
+TorchVision PIL stack: resize the short side to ``round(img_size / scale)``
+with PIL-bilinear (antialiased), center-crop ``img_size``, convert to float
+and normalize with the ImageNet mean/std. The README explicitly warns that
+accuracy is resize-implementation sensitive, so this module reproduces
+PIL's adaptive triangle filter exactly — not ``jax.image.resize``.
+
+TPU-native formulation: a separable resize with *static* shapes is two
+dense interpolation matmuls — ``out = R @ img @ C^T`` with R:(out_h, in_h),
+C:(out_w, in_w) — which ride the MXU instead of gather units. The center
+crop folds into R/C by slicing their rows, and the uint8->float conversion
+plus normalization fold into the kernel epilogue, so the whole pipeline is
+one Pallas kernel per (image, channel): HBM is read once (uint8) and
+written once (bf16).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["IMAGENET_MEAN", "IMAGENET_STD", "resize_matrices",
+           "preprocess_batch", "classification_preprocess"]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def _pil_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out_size, in_size) row-stochastic PIL-bilinear filter matrix.
+
+    Mirrors Pillow's ``precompute_coeffs`` (triangle filter, support 1.0,
+    widened by the scale ratio when downscaling, weights renormalized).
+    """
+    m = np.zeros((out_size, in_size), np.float64)
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        js = np.arange(xmin, xmax)
+        w = 1.0 - np.abs((js + 0.5 - center) / filterscale)
+        w = np.clip(w, 0.0, None)
+        s = w.sum()
+        if s > 0:
+            m[i, xmin:xmax] = w / s
+        else:
+            m[i, min(int(center), in_size - 1)] = 1.0
+    return m.astype(np.float32)
+
+
+def resize_matrices(in_hw: Tuple[int, int], crop_size: Union[int, Tuple[int, int]],
+                    scale: float = 0.875) -> Tuple[np.ndarray, np.ndarray]:
+    """Interpolation matrices (R, C) implementing resize-short-side +
+    center-crop for a static input size.
+
+    ``R``: (crop_h, in_h); ``C``: (crop_w, in_w). Torch semantics:
+    ``Resize(round(crop / scale))`` scales the SHORT side and keeps aspect;
+    ``CenterCrop(crop)`` then slices the middle — realized here by slicing
+    rows of the full interpolation matrices.
+    """
+    in_h, in_w = in_hw
+    if isinstance(crop_size, int):
+        crop_h = crop_w = crop_size
+    else:
+        crop_h, crop_w = crop_size
+    resize_value = int(round(crop_h / scale))
+    if in_h <= in_w:
+        rh = resize_value
+        rw = max(int(round(in_w * resize_value / in_h)), crop_w)
+    else:
+        rw = resize_value
+        rh = max(int(round(in_h * resize_value / in_w)), crop_h)
+    full_r = _pil_bilinear_matrix(in_h, rh)
+    full_c = _pil_bilinear_matrix(in_w, rw)
+    top = (rh - crop_h) // 2
+    left = (rw - crop_w) // 2
+    return full_r[top:top + crop_h], full_c[left:left + crop_w]
+
+
+def _affine(mean: Sequence[float], std: Sequence[float]):
+    """uint8 pixel -> normalized float: y = v * a + b per channel."""
+    a = 1.0 / (255.0 * np.asarray(std, np.float32))
+    b = -np.asarray(mean, np.float32) / np.asarray(std, np.float32)
+    return a, b
+
+
+def _preprocess_kernel(a_ref, b_ref, img_ref, r_ref, ct_ref, out_ref):
+    ch = pl.program_id(1)
+    # Mosaic has no direct uint8->f32 cast; widen via int32.
+    x = img_ref[0, 0].astype(jnp.int32).astype(jnp.float32)
+    t = jnp.dot(r_ref[:], x, preferred_element_type=jnp.float32)
+    y = jnp.dot(t, ct_ref[:], preferred_element_type=jnp.float32)
+    out_ref[0, 0] = (y * a_ref[ch] + b_ref[ch]).astype(out_ref.dtype)
+
+
+def _preprocess_pallas(planar_u8, r, ct, a, b, out_dtype, interpret: bool):
+    bsz, nc, in_h, in_w = planar_u8.shape
+    crop_h, crop_w = r.shape[0], ct.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(bsz, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, in_h, in_w), lambda i, j, *_: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((crop_h, in_h), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_w, crop_w), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, crop_h, crop_w),
+                               lambda i, j, *_: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _preprocess_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, nc, crop_h, crop_w), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bsz * nc * (crop_h * in_h * in_w +
+                                  crop_h * in_w * crop_w),
+            bytes_accessed=bsz * nc * (in_h * in_w + 2 * crop_h * crop_w),
+            transcendentals=0),
+    )(a, b, planar_u8, r, ct)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("mean", "std", "out_dtype",
+                                             "use_pallas", "interpret"))
+def preprocess_batch(images, r, ct, mean: Tuple[float, ...] = IMAGENET_MEAN,
+                     std: Tuple[float, ...] = IMAGENET_STD,
+                     out_dtype=jnp.bfloat16, use_pallas: Optional[bool] = None,
+                     interpret: bool = False):
+    """Resize + center-crop + normalize a uint8 NHWC batch.
+
+    ``images``: (B, H, W, C) uint8; ``r``: (crop_h, H) f32;
+    ``ct``: (W, crop_w) f32 (the transposed column matrix). Returns
+    (B, crop_h, crop_w, C) ``out_dtype``. Pallas on TPU; identical-math
+    XLA einsum fallback elsewhere.
+    """
+    a, b = _affine(mean, std)
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    # Auto resolves to the XLA einsum path: measured faster on v5e (the
+    # Pallas path pays planar transposes; both are ~30x faster than model
+    # inference, so preprocessing is never the bottleneck). Force the
+    # fused kernel with use_pallas=True.
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas or interpret:
+        planar = jnp.transpose(images, (0, 3, 1, 2))
+        out = _preprocess_pallas(planar, r, ct, a, b, out_dtype, interpret)
+        return jnp.transpose(out, (0, 2, 3, 1))
+    x = images.astype(jnp.float32)
+    t = jnp.einsum("oh,bhwc->bowc", r, x, preferred_element_type=jnp.float32)
+    y = jnp.einsum("bowc,wp->bopc", t, ct,
+                   preferred_element_type=jnp.float32)
+    return (y * a + b).astype(out_dtype)
+
+
+def classification_preprocess(model_name_or_size, in_hw: Tuple[int, int],
+                              out_dtype=jnp.bfloat16,
+                              use_pallas: Optional[bool] = None):
+    """Build a jitted ``batch_u8 -> model input`` closure for a zoo model.
+
+    Looks up (img_size, scale) in the metainfo registry when given a name
+    (reference model_metainfos.csv cols img_size/img_scale)."""
+    if isinstance(model_name_or_size, str):
+        from ..zoo.store import get_model_metainfo
+        info = get_model_metainfo(model_name_or_size)
+        crop = int(info.get("in_size") or 224)
+        scale = float(info.get("scale") or 0.875)
+    else:
+        crop, scale = model_name_or_size, 0.875
+    r, c = resize_matrices(in_hw, crop, scale)
+    r = jnp.asarray(r)
+    ct = jnp.asarray(c.T)
+
+    def run(images_u8):
+        return preprocess_batch(images_u8, r, ct, out_dtype=out_dtype,
+                                use_pallas=use_pallas)
+
+    return run

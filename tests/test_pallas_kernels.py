@@ -1,0 +1,174 @@
+"""Pallas kernel numerics: interpret-mode kernels vs their XLA fallbacks.
+
+On CPU the kernels run through the Pallas interpreter, which executes the
+same program the Mosaic TPU compiler would — so these tests gate the math
+while real-chip performance is gated by the driver benchmark.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorchcv_tpu.kernels import (classification_preprocess,
+                                   dwconv2d_bn_act, fused_window_attention,
+                                   preprocess_batch, resize_matrices)
+from pytorchcv_tpu.kernels.dwconv import _xla_ref as dw_ref
+from pytorchcv_tpu.kernels.attention import _xla_ref as attn_ref
+
+
+class TestPreprocess:
+    def test_pallas_matches_xla(self):
+        rng = np.random.RandomState(0)
+        imgs = rng.randint(0, 256, (2, 64, 80, 3), np.uint8)
+        r, c = resize_matrices((64, 80), 32)
+        ct = jnp.asarray(c.T)
+        r = jnp.asarray(r)
+        ref = preprocess_batch(imgs, r, ct, out_dtype=jnp.float32,
+                               use_pallas=False)
+        out = preprocess_batch(imgs, r, ct, out_dtype=jnp.float32,
+                               use_pallas=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
+        assert out.shape == (2, 32, 32, 3)
+
+    def test_matches_pil_torchvision_protocol(self):
+        """Full protocol parity vs PIL resize + center-crop + normalize
+        (the reference eval stack, README.md:157-167)."""
+        PIL = pytest.importorskip("PIL.Image")
+        rng = np.random.RandomState(1)
+        img = rng.randint(0, 256, (100, 120, 3), np.uint8)
+        crop, scale = 56, 0.875
+        resize_value = int(round(crop / scale))  # 64, short side = H
+        pil = PIL.fromarray(img)
+        rw = int(round(120 * resize_value / 100))
+        pil = pil.resize((rw, resize_value), PIL.BILINEAR)
+        arr = np.asarray(pil).astype(np.float32)
+        top = (resize_value - crop) // 2
+        left = (rw - crop) // 2
+        arr = arr[top:top + crop, left:left + crop]
+        mean = np.array([0.485, 0.456, 0.406], np.float32)
+        std = np.array([0.229, 0.224, 0.225], np.float32)
+        expect = (arr / 255.0 - mean) / std
+
+        r, c = resize_matrices((100, 120), crop, scale)
+        got = preprocess_batch(img[None], jnp.asarray(r), jnp.asarray(c.T),
+                               out_dtype=jnp.float32, use_pallas=False)[0]
+        # PIL quantizes filter weights to 8.8 fixed point and clips uint8;
+        # tolerance covers that quantization.
+        np.testing.assert_allclose(np.asarray(got), expect, atol=0.04)
+
+    def test_classification_preprocess_closure(self):
+        run = classification_preprocess(32, (48, 48), out_dtype=jnp.float32,
+                                        use_pallas=False)
+        out = run(np.zeros((1, 48, 48, 3), np.uint8))
+        assert out.shape == (1, 32, 32, 3)
+        # all-zero uint8 -> exactly -mean/std
+        np.testing.assert_allclose(
+            np.asarray(out)[0, 0, 0],
+            (-np.array([0.485, 0.456, 0.406]) /
+             np.array([0.229, 0.224, 0.225])), atol=1e-5)
+
+
+class TestDwconv:
+    @pytest.mark.parametrize("stride,k,c,h,w", [
+        (1, 3, 16, 12, 12),
+        (2, 3, 24, 14, 14),
+        (1, 5, 8, 11, 13),
+        (2, 5, 32, 16, 18),
+        (1, 7, 8, 14, 14),
+    ])
+    def test_matches_xla(self, stride, k, c, h, w):
+        rng = np.random.RandomState(k + stride)
+        x = jnp.asarray(rng.randn(2, h, w, c), jnp.float32)
+        wgt = jnp.asarray(rng.randn(k, k, c) * 0.2, jnp.float32)
+        scale = jnp.asarray(rng.rand(c) + 0.5, jnp.float32)
+        shift = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+        pad = ((k // 2, k // 2), (k // 2, k // 2))
+        ref = dw_ref(x, wgt, scale, shift, stride, pad, "relu6")
+        got = dwconv2d_bn_act(x, wgt, scale, shift, stride, pad, "relu6",
+                              use_pallas=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    @pytest.mark.parametrize("act", ["none", "relu", "hswish", "swish"])
+    def test_activations(self, act):
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(1, 8, 8, 8), jnp.float32)
+        wgt = jnp.asarray(rng.randn(3, 3, 8) * 0.3, jnp.float32)
+        one = jnp.ones(8, jnp.float32)
+        zero = jnp.zeros(8, jnp.float32)
+        pad = ((1, 1), (1, 1))
+        ref = dw_ref(x, wgt, one, zero, 1, pad, act)
+        got = dwconv2d_bn_act(x, wgt, one, zero, 1, pad, act,
+                              use_pallas=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_grad_flows_through_custom_vjp(self):
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(1, 8, 8, 8), jnp.float32)
+        wgt = jnp.asarray(rng.randn(3, 3, 8) * 0.3, jnp.float32)
+        scale = jnp.ones(8, jnp.float32)
+        shift = jnp.zeros(8, jnp.float32)
+        pad = ((1, 1), (1, 1))
+
+        def loss(x_, w_):
+            return dwconv2d_bn_act(x_, w_, scale, shift, 1, pad, "relu",
+                                   use_pallas=False).sum()
+
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, wgt)
+
+        def loss_ref(x_, w_):
+            return dw_ref(x_, w_, scale, shift, 1, pad, "relu").sum()
+
+        rx, rw = jax.grad(loss_ref, argnums=(0, 1))(x, wgt)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-5)
+
+
+class TestWindowAttention:
+    def test_matches_xla(self):
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, 3, 45, 32), jnp.float32)
+        k = jnp.asarray(rng.randn(2, 3, 90, 32), jnp.float32)
+        v = jnp.asarray(rng.randn(2, 3, 90, 32), jnp.float32)
+        ref = attn_ref(q, k, v, 32 ** -0.5, None)
+        got = fused_window_attention(q, k, v, use_pallas=False,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_mask(self):
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(2, 16, 16), jnp.float32)
+        k = jnp.asarray(rng.randn(2, 24, 16), jnp.float32)
+        v = jnp.asarray(rng.randn(2, 24, 16), jnp.float32)
+        mask = jnp.where(rng.rand(2, 16, 24) > 0.5, 0.0, -1e9).astype(
+            jnp.float32)
+        ref = attn_ref(q, k, v, 0.25, mask)
+        got = fused_window_attention(q, k, v, scale=0.25, mask=mask,
+                                     use_pallas=False, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_grad(self):
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(1, 8, 16), jnp.float32)
+        k = jnp.asarray(rng.randn(1, 12, 16), jnp.float32)
+        v = jnp.asarray(rng.randn(1, 12, 16), jnp.float32)
+
+        g = jax.grad(lambda q_: fused_window_attention(
+            q_, k, v, use_pallas=False).sum())(q)
+        r = jax.grad(lambda q_: attn_ref(q_, k, v, 16 ** -0.5, None).sum())(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+    def test_big_window_falls_back(self):
+        # 2048x2048 scores exceed the VMEM budget -> XLA path, same result.
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(1, 2048, 16), jnp.float32)
+        out = fused_window_attention(q, q, q, use_pallas=True)
+        ref = attn_ref(q, q, q, 16 ** -0.5, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
