@@ -1,0 +1,250 @@
+"""int8 end-to-end ResNet serving pipeline (flagship benchmark path).
+
+The generic interception PTQ (``ptq.py``) quantizes each conv but stores
+inter-layer activations in bf16, so resnet50 stays HBM-bound (~18k img/s
+on v5e). This pipeline keeps activations **stored int8 between layers**:
+each conv's epilogue fuses dequant (with the BN affine folded into the
+per-channel scale) + ReLU + requant-to-the-next-layer's-scale, writing
+int8 — halving activation HBM traffic and letting the int8 MXU run free.
+The 7x7/s2 stem is rewritten via 2x2 space-to-depth into a 4x4/s1 conv
+(3 -> 12 input channels: 4x the MXU lane utilization), and weights are
+quantized ONCE up front (``prepare_int8_resnet``) so the steady-state
+program never touches f32 kernels.
+
+Built directly over the zoo ResNet's variables tree (reference
+resnet.py:143-331 semantics: ResInitBlock 7x7/s2 + maxpool, ResUnit
+body(+identity_conv) add + ReLU, bottleneck stride at conv1 when
+``conv1_stride`` — pytorchcv resnet50 — else at conv2 — resnet50b).
+Activation scales come from ``calibrate_int8``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["int8_resnet_apply_fn", "prepare_int8_resnet"]
+
+_EPS = 1e-5
+
+
+def _cell_consts(cell_params, cell_stats):
+    """Fold conv kernel + BN into {wq int8, gain, bias}."""
+    kernel = cell_params["conv"]["kernel"].astype(jnp.float32)
+    s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
+                      1e-12) / 127.0
+    wq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+    gamma = cell_params["bn"]["scale"].astype(jnp.float32)
+    beta = cell_params["bn"]["bias"].astype(jnp.float32)
+    mean = cell_stats["bn"]["mean"].astype(jnp.float32)
+    var = cell_stats["bn"]["var"].astype(jnp.float32)
+    g = gamma * jax.lax.rsqrt(var + _EPS)
+    return {"wq": wq, "gain": s_w * g, "bias": beta - mean * g}
+
+
+def _conv_i8(xq, wq, stride, padding=None):
+    k = wq.shape[0]
+    pad = [(k // 2, k // 2)] * 2 if padding is None else padding
+    return jax.lax.conv_general_dilated(
+        xq, wq, window_strides=(stride, stride), padding=pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+
+
+def _cell(xq, s_in, cell, stride=1, relu=True,
+          s_out: Optional[float] = None, out_dtype=jnp.bfloat16):
+    """int8 conv + folded BN (+ ReLU) (+ requant to int8 with amax s_out).
+
+    ``xq``: int8, quantized with amax ``s_in``. Returns int8 when
+    ``s_out`` is given, else ``out_dtype``.
+    """
+    y = _conv_i8(xq, cell["wq"], stride).astype(jnp.float32)
+    y = y * (cell["gain"] * (s_in / 127.0)) + cell["bias"]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if s_out is None:
+        return y.astype(out_dtype)
+    return jnp.clip(jnp.round(y * (127.0 / s_out)),
+                    -127, 127).astype(jnp.int8)
+
+
+def _quant(x, amax):
+    return jnp.clip(jnp.round(x.astype(jnp.float32) * (127.0 / amax)),
+                    -127, 127).astype(jnp.int8)
+
+
+def _space_to_depth_stem(xq, wq):
+    """Rewrite the 7x7/s2 stem as a 4x4/s1 conv over 2x2-blocked inputs.
+
+    x: (B, H, W, 3) -> (B, (H+4)/2, (W+4)/2, 12) with channel
+    c*4 + dy*2 + dx; kernel (7,7,3,O) zero-padded top-left to (8,8,3,O)
+    -> (4,4,12,O): output(i,j) = sum_a,b x[2i+a-3, 2j+b-3] w[a,b] becomes,
+    with a = 2*alpha+dy-1, a 4x4 stride-1 conv over blocks with block pad
+    (1,0) — pixel pad 2 each side + the kernel's zero row/col reproduce
+    torch pad 3 exactly.
+    """
+    b, h, w, c = xq.shape
+    xp = jnp.pad(xq, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    hp, wp = h + 4, w + 4
+    xs = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 5, 2, 4).reshape(b, hp // 2, wp // 2, c * 4)
+    kh, kw, ci, co = wq.shape            # (7,7,3,O)
+    wp8 = jnp.pad(wq, ((1, 0), (1, 0), (0, 0), (0, 0)))   # top-left zeros
+    ws = wp8.reshape(4, 2, 4, 2, ci, co)
+    ws = ws.transpose(0, 2, 4, 1, 3, 5).reshape(4, 4, ci * 4, co)
+    return xs, ws
+
+
+def _maxpool_i8(xq, window=3, stride=2, padding=1):
+    return jax.lax.reduce_window(
+        xq, jnp.int8(-128), jax.lax.max, (1, window, window, 1),
+        (1, stride, stride, 1),
+        [(0, 0), (padding, padding), (padding, padding), (0, 0)])
+
+
+def _resolve_conv1_stride(model, conv1_stride):
+    if conv1_stride is None:
+        name = getattr(model, "name", "")
+        return not name.endswith("b")
+    return conv1_stride
+
+
+def _quantize_tree(params, stats):
+    """Map every conv+bn cell in the features tree to folded int8 consts."""
+    out = {}
+    for k, v in params.items():
+        if isinstance(v, dict) and "conv" in v and "kernel" in v["conv"]:
+            out[k] = _cell_consts(v, stats[k])
+        elif isinstance(v, dict):
+            out[k] = _quantize_tree(v, stats[k])
+    return out
+
+
+def _forward(qtree, x, scales, conv1_stride, q_residual=False):
+    f = qtree["features"]
+    sc = scales.__getitem__
+
+    s_img = sc("features/init_block/conv/conv")
+    s_u1 = sc("features/stage1/unit1/body/conv1/conv")
+    xq = _quant(x, s_img)
+    stem = f["init_block"]["conv"]
+    xs, ws = _space_to_depth_stem(xq, stem["wq"])
+    y = _conv_i8(xs, ws, 1, [(1, 0), (1, 0)]).astype(jnp.float32)
+    y = jnp.maximum(y * (stem["gain"] * (s_img / 127.0)) + stem["bias"], 0.0)
+    xq = _maxpool_i8(_quant(y, s_u1))
+    s_in = s_u1
+
+    stage_names = sorted(k for k in f if k.startswith("stage"))
+    last_stage = stage_names[-1]
+    out = None
+    for si, stage in enumerate(stage_names):
+        unit_names = sorted(f[stage],
+                            key=lambda u: int(u.replace("unit", "")))
+        for ui, unit in enumerate(unit_names):
+            uq = f[stage][unit]
+            stride = 2 if (ui == 0 and si != 0) else 1
+            body = uq["body"]
+            prefix = f"features/{stage}/{unit}/body"
+            bottleneck = "conv3" in body
+            nxt = None  # next conv1's input scale = this unit's out scale
+            if ui + 1 < len(unit_names):
+                nxt = f"features/{stage}/{unit_names[ui+1]}/body/conv1/conv"
+            elif stage != last_stage:
+                nxt = f"features/{stage_names[si+1]}/unit1/body/conv1/conv"
+            s_next = sc(nxt) if nxt else None
+            if bottleneck:
+                s1, s2 = (stride, 1) if conv1_stride else (1, stride)
+                t = _cell(xq, s_in, body["conv1"], s1, True,
+                          sc(f"{prefix}/conv2/conv"))
+                t = _cell(t, sc(f"{prefix}/conv2/conv"), body["conv2"], s2,
+                          True, sc(f"{prefix}/conv3/conv"))
+                last_cell, s_last = body["conv3"], sc(f"{prefix}/conv3/conv")
+            else:
+                t = _cell(xq, s_in, body["conv1"], stride, True,
+                          sc(f"{prefix}/conv2/conv"))
+                last_cell, s_last = body["conv2"], sc(f"{prefix}/conv2/conv")
+            if nxt is None or not q_residual:
+                # bf16-domain residual add (default: measured faster on
+                # v5e — int8 elementwise adds widen to int32 on the VPU
+                # and break the conv epilogue fusion).
+                t = _cell(t, s_last, last_cell, 1, False)
+                if "identity_conv" in uq:
+                    idf = _cell(xq, s_in, uq["identity_conv"], stride,
+                                False)
+                else:
+                    idf = (xq.astype(jnp.float32) *
+                           (s_in / 127.0)).astype(jnp.bfloat16)
+                y = jnp.maximum(t.astype(jnp.float32) +
+                                idf.astype(jnp.float32), 0.0)
+                if nxt is None:
+                    out = y.astype(jnp.bfloat16)
+                else:
+                    s_in = s_next
+                    xq = _quant(y, s_in)
+            else:
+                # Residual add in the quantized domain (TensorRT-style):
+                # both operands requantized to the unit's output scale, so
+                # no bf16 tensor ever materializes — conv epilogues write
+                # int8 and the add+ReLU fuses over int8 operands.
+                t = _cell(t, s_last, last_cell, 1, False, s_next)
+                if "identity_conv" in uq:
+                    qid = _cell(xq, s_in, uq["identity_conv"], stride,
+                                False, s_next)
+                else:
+                    qid = jnp.clip(
+                        jnp.round(xq.astype(jnp.float32) *
+                                  (s_in / s_next)), -127, 127
+                    ).astype(jnp.int8)
+                acc = t.astype(jnp.int32) + qid.astype(jnp.int32)
+                xq = jnp.clip(acc, 0, 127).astype(jnp.int8)  # fused ReLU
+                s_in = s_next
+    feat = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+    head = qtree["output"]
+    logits = feat @ head["kernel"].astype(jnp.float32) + \
+        head["bias"].astype(jnp.float32)
+    return logits.astype(jnp.bfloat16)
+
+
+def prepare_int8_resnet(model, scales: Dict[str, float],
+                        conv1_stride: Optional[bool] = None,
+                        q_residual: bool = False
+                        ) -> Tuple[Callable, Dict]:
+    """Serving entry point: quantize weights ONCE, return
+    ``(infer_fn, qparams)`` with ``infer_fn(qparams, x) -> logits``.
+
+    The steady-state compiled program reads only int8 kernels plus
+    per-channel f32 gain/bias — f32 weights never enter the hot loop.
+    """
+    c1s = _resolve_conv1_stride(model, conv1_stride)
+    params = model.variables["params"]
+    stats = model.variables["batch_stats"]
+    qparams = jax.jit(_quantize_tree)(params["features"],
+                                      stats["features"])
+    head = params["output"]
+    qtree = {"features": qparams,
+             "output": {"kernel": head["kernel"].astype(jnp.bfloat16),
+                        "bias": head["bias"].astype(jnp.float32)}}
+
+    def infer_fn(qtree, x):
+        return _forward(qtree, x, scales, c1s, q_residual)
+
+    return infer_fn, qtree
+
+
+def int8_resnet_apply_fn(model, scales: Dict[str, float],
+                         conv1_stride: Optional[bool] = None) -> Callable:
+    """Jittable ``(variables, x) -> logits`` quantizing weights in-graph
+    (convenient for tests; use ``prepare_int8_resnet`` for serving)."""
+    c1s = _resolve_conv1_stride(model, conv1_stride)
+
+    def fn(variables, x):
+        params = variables["params"]
+        stats = variables["batch_stats"]
+        qtree = {"features": _quantize_tree(params["features"],
+                                            stats["features"]),
+                 "output": params["output"]}
+        return _forward(qtree, x, scales, c1s)
+
+    return fn

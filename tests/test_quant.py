@@ -1,0 +1,107 @@
+"""int8 PTQ: generic interception quantizer + the ResNet serving pipeline.
+
+Gates: calibration coverage, logits agreement vs the f32 model (cosine +
+top-1), and structural details (space-to-depth stem exactness).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pytorchcv_tpu as ptc
+from pytorchcv_tpu.quant import calibrate_int8, int8_apply_fn, quantize_model
+from pytorchcv_tpu.quant.resnet_int8 import (_space_to_depth_stem,
+                                             int8_resnet_apply_fn,
+                                             prepare_int8_resnet)
+
+
+def _agreement(y8, yf):
+    y8 = y8.astype(jnp.float32)
+    cos = float(jnp.sum(y8 * yf) /
+                (jnp.linalg.norm(y8) * jnp.linalg.norm(yf)))
+    agree = float(jnp.mean(jnp.argmax(y8, 1) == jnp.argmax(yf, 1)))
+    return cos, agree
+
+
+class TestGenericPTQ:
+    def test_resnet10_parity(self):
+        model = ptc.get_model("resnet10", in_size=(64, 64))
+        fn, scales = quantize_model(model, batch=4)
+        assert len(scales) >= 10          # every dense conv calibrated
+        x = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3))
+        y8 = jax.jit(fn)(model.variables, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.995 and agree == 1.0, (cos, agree)
+
+    def test_depthwise_stays_float(self):
+        # mobilenet: depthwise convs must NOT be calibrated (grouped).
+        model = ptc.get_model("mobilenet_wd4", in_size=(64, 64))
+        calib = [jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))]
+        scales = calibrate_int8(model, calib)
+        assert scales, "pointwise convs should calibrate"
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        y8 = jax.jit(int8_apply_fn(model, scales))(model.variables, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.99, cos
+
+
+class TestResnetInt8Pipeline:
+    @pytest.mark.parametrize("name", ["resnet10", "resnet18", "resnet50",
+                                      "resnet50b"])
+    def test_parity(self, name):
+        model = ptc.get_model(name, in_size=(64, 64))
+        calib = [jax.random.uniform(jax.random.PRNGKey(i), (4, 64, 64, 3))
+                 for i in range(2)]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_resnet(model, scales)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+        y8 = jax.jit(fn)(qtree, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.995 and agree == 1.0, (name, cos, agree)
+
+    def test_in_graph_variant_matches_prepared(self):
+        model = ptc.get_model("resnet10", in_size=(64, 64))
+        calib = [jax.random.uniform(jax.random.PRNGKey(0), (4, 64, 64, 3))]
+        scales = calibrate_int8(model, calib)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (2, 64, 64, 3))
+        y1 = jax.jit(int8_resnet_apply_fn(model, scales))(
+            model.variables, x).astype(jnp.float32)
+        fn, qtree = prepare_int8_resnet(model, scales)
+        y2 = jax.jit(fn)(qtree, x).astype(jnp.float32)
+        # identical math modulo bf16 head rounding
+        assert float(jnp.max(jnp.abs(y1 - y2))) <= \
+            0.02 * float(jnp.max(jnp.abs(y1)))
+
+    def test_q_residual_mode(self):
+        model = ptc.get_model("resnet10", in_size=(64, 64))
+        calib = [jax.random.uniform(jax.random.PRNGKey(0), (4, 64, 64, 3))]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_resnet(model, scales, q_residual=True)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+        y8 = jax.jit(fn)(qtree, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.99 and agree == 1.0, (cos, agree)
+
+
+class TestSpaceToDepthStem:
+    def test_exact_vs_direct_conv(self):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randint(-127, 128, (2, 32, 32, 3)), jnp.int8)
+        w = jnp.asarray(rng.randint(-8, 8, (7, 7, 3, 16)), jnp.int8)
+        direct = jax.lax.conv_general_dilated(
+            x, w, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        xs, ws = _space_to_depth_stem(x, w)
+        blocked = jax.lax.conv_general_dilated(
+            xs, ws, (1, 1), [(1, 0), (1, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        np.testing.assert_array_equal(np.asarray(direct),
+                                      np.asarray(blocked))
