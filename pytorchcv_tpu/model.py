@@ -23,6 +23,21 @@ def _leaf_count(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
 
 
+def _plain_dict(tree):
+    """FrozenDict -> plain nested dict (msgpack-serializable)."""
+    if hasattr(tree, "items"):
+        return {k: _plain_dict(v) for k, v in tree.items()}
+    return tree
+
+
+def flatten_with_paths(tree, prefix=()):
+    if hasattr(tree, "items"):
+        for k in tree:
+            yield from flatten_with_paths(tree[k], prefix + (k,))
+    else:
+        yield prefix, tree
+
+
 @dataclasses.dataclass
 class Model:
     """A constructed zoo model: linen module + (optionally) variables."""
@@ -121,6 +136,44 @@ class Model:
         fn = jax.jit(lambda variables, *a: self.module.apply(
             variables, *a, train=False))
         return lambda *a: fn(self.variables, *a)
+
+    def save(self, path: str) -> str:
+        """Serialize variables to a native single-file checkpoint (flax
+        msgpack). The reference has no save path at all (its checkpoint
+        story is download-only, model_store.py); a standalone framework
+        needs round-trippable native checkpoints. For sharded multi-host
+        checkpoints use orbax against ``self.variables`` directly.
+        """
+        assert self.variables is not None, "call .init() first"
+        from flax import serialization
+
+        data = serialization.msgpack_serialize(
+            jax.tree_util.tree_map(np.asarray, _plain_dict(self.variables)))
+        with open(path, "wb") as f:
+            f.write(data)
+        return path
+
+    def load(self, path: str) -> "Model":
+        """Load a checkpoint written by :meth:`save` (shape/dtype checked
+        against this model's variable structure)."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        target = self.variables or self.shape_variables()
+        target = _plain_dict(target)
+        flat_t = dict(flatten_with_paths(target))
+        flat_r = dict(flatten_with_paths(raw))
+        if set(flat_t) != set(flat_r):
+            missing = set(flat_t) ^ set(flat_r)
+            raise ValueError(f"checkpoint structure mismatch: {missing}")
+        for k, leaf in flat_t.items():
+            if tuple(leaf.shape) != tuple(flat_r[k].shape):
+                raise ValueError(
+                    f"shape mismatch at {k}: {flat_r[k].shape} vs "
+                    f"{leaf.shape}")
+        variables = jax.tree_util.tree_map(jnp.asarray, raw)
+        return dataclasses.replace(self, variables=variables)
 
     def as_bfloat16(self) -> "Model":
         """Cast floating-point variables to bfloat16 (inference policy).

@@ -1,0 +1,106 @@
+"""Production serving entry point: raw uint8 images -> logits, one jitted
+program.
+
+Composes the subsystems the north star asks for end-to-end:
+preprocessing (``kernels.preprocess``: PIL-exact resize + crop + normalize
+as MXU matmuls) -> int8 PTQ forward (``quant``: the dedicated int8-storage
+ResNet pipeline when the model has a plain ResNet tree, else the generic
+interception quantizer, else bf16) -> optional data-parallel sharding over
+a ``jax.sharding.Mesh``.
+
+    serve = make_serving_fn("resnet50", source_hw=(256, 256))
+    logits = serve(batch_u8)          # (B, 256, 256, 3) uint8 -> (B, 1000)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .model_provider import get_model
+
+__all__ = ["make_serving_fn"]
+
+
+def _is_plain_resnet(variables) -> bool:
+    """True when the params tree matches the zoo ResNet layout that the
+    int8-storage pipeline understands."""
+    try:
+        f = variables["params"]["features"]
+        if "init_block" not in f or "conv" not in f["init_block"]:
+            return False
+        if "conv" not in f["init_block"]["conv"]:
+            return False
+        stages = [k for k in f if k.startswith("stage")]
+        if not stages:
+            return False
+        for st in stages:
+            for u, up in f[st].items():
+                body = up.get("body", {})
+                if "conv1" not in body or "conv" not in body["conv1"]:
+                    return False
+                extra = set(up) - {"body", "identity_conv"}
+                if extra:
+                    return False
+        return "output" in variables["params"] and \
+            "kernel" in variables["params"]["output"]
+    except (KeyError, TypeError, AttributeError):
+        return False
+
+
+def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
+                    mode: str = "auto",
+                    calib_batches: Optional[Sequence] = None,
+                    mesh=None, pretrained: bool = False) -> Callable:
+    """Build a jitted ``uint8 (B, H, W, 3) -> logits`` closure.
+
+    ``mode``: 'auto' (int8 where supported), 'int8', 'bf16'.
+    ``calib_batches``: real preprocessed batches for PTQ calibration
+    (random data by default — pass real samples for deployment).
+    ``mesh``: optional Mesh; batch is sharded over its 'data' axis.
+    """
+    model = get_model(model_name, pretrained=pretrained)
+    from .kernels.preprocess import classification_preprocess
+    try:
+        pre = classification_preprocess(model_name, source_hw)
+    except (ValueError, KeyError):          # no metainfo row: use ctor size
+        pre = classification_preprocess(model.in_size[0], source_hw)
+
+    use_int8 = mode in ("auto", "int8")
+    infer = None
+    if use_int8 and _is_plain_resnet(model.variables):
+        from .quant import calibrate_int8
+        from .quant.resnet_int8 import prepare_int8_resnet
+        scales = _calibrate(model, calib_batches)
+        fn, qtree = prepare_int8_resnet(model, scales)
+        infer = lambda x: fn(qtree, x)
+    elif use_int8 and mode == "int8":
+        from .quant import calibrate_int8, int8_apply_fn
+        scales = _calibrate(model, calib_batches)
+        fn = int8_apply_fn(model, scales)
+        variables = model.variables
+        infer = lambda x: fn(variables, x)
+    if infer is None:
+        bf = model.as_bfloat16()
+        variables = bf.variables
+        infer = lambda x: bf.module.apply(variables, x, train=False)
+
+    def pipeline(raw_u8):
+        return infer(pre(raw_u8))
+
+    if mesh is None:
+        return jax.jit(pipeline)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = NamedSharding(mesh, P("data"))
+    return jax.jit(pipeline, in_shardings=(spec,), out_shardings=spec)
+
+
+def _calibrate(model, calib_batches):
+    from .quant import calibrate_int8
+    if calib_batches is None:
+        calib_batches = [jax.random.uniform(
+            jax.random.PRNGKey(0),
+            (8, *model.in_size, model.in_channels), jnp.float32)]
+    return calibrate_int8(model, calib_batches)

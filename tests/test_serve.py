@@ -1,0 +1,42 @@
+"""End-to-end serving pipeline (serve.make_serving_fn)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from pytorchcv_tpu.serve import make_serving_fn, _is_plain_resnet
+import pytorchcv_tpu as ptc
+
+
+def test_resnet_int8_serving():
+    serve = make_serving_fn("resnet10", source_hw=(74, 74))
+    raw = np.random.RandomState(0).randint(0, 256, (4, 74, 74, 3), np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (4, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
+def test_bf16_fallback_for_non_resnet():
+    serve = make_serving_fn("mobilenet_wd4", source_hw=(74, 74),
+                            mode="bf16")
+    raw = np.random.RandomState(1).randint(0, 256, (2, 74, 74, 3), np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (2, 1000)
+
+
+def test_sharded_serving():
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    serve = make_serving_fn("resnet10", source_hw=(74, 74), mesh=mesh)
+    raw = np.random.RandomState(2).randint(0, 256, (16, 74, 74, 3),
+                                           np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (16, 1000)
+
+
+def test_plain_resnet_detector():
+    assert _is_plain_resnet(
+        ptc.get_model("resnet10", in_size=(64, 64)).variables)
+    assert not _is_plain_resnet(
+        ptc.get_model("mobilenet_wd4", in_size=(64, 64)).variables)
