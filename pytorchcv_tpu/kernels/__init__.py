@@ -21,9 +21,10 @@ from .preprocess import (IMAGENET_MEAN, IMAGENET_STD, classification_preprocess,
                          preprocess_batch, resize_matrices)
 from .dwconv import dwconv2d_bn_act
 from .attention import fused_window_attention
+from .flash_attention import flash_attention
 
 __all__ = [
     "IMAGENET_MEAN", "IMAGENET_STD", "classification_preprocess",
     "preprocess_batch", "resize_matrices", "dwconv2d_bn_act",
-    "fused_window_attention",
+    "fused_window_attention", "flash_attention",
 ]

@@ -45,10 +45,12 @@ class PosAttBlock(nn.Module):
         q = q.reshape(b, h * w, mid)
         k = k.reshape(b, h * w, mid)
         v = v.reshape(b, h * w, c)
-        energy = jnp.einsum("bqc,bkc->bqk", q, k)
-        wgt = nn.softmax(energy, axis=-1)
-        y = jnp.einsum("bqk,bkc->bqc", wgt, v)
-        y = y.reshape(b, h, w, c)
+        # softmax(q k^T) v without materializing the (HW, HW) score matrix
+        # (~51 MB/image at the 480x480 protocol): flash-attention Pallas
+        # kernel on TPU at large L, einsum elsewhere (kernels/flash_attention).
+        from ..kernels.flash_attention import flash_attention
+        y = flash_attention(q, k, v, 1.0)
+        y = y.astype(x.dtype).reshape(b, h, w, c)
         return ScaleBlock(name="scale")(y) + x
 
 

@@ -164,6 +164,36 @@ class TestWindowAttention:
         r = jax.grad(lambda q_: attn_ref(q_, k, v, 16 ** -0.5, None).sum())(q)
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
 
+    def test_flash_attention_parity(self):
+        from pytorchcv_tpu.kernels import flash_attention
+        rng = np.random.RandomState(5)
+        q = jnp.asarray(rng.randn(2, 256, 64), jnp.float32)
+        k = jnp.asarray(rng.randn(2, 320, 64), jnp.float32)
+        v = jnp.asarray(rng.randn(2, 320, 96), jnp.float32)
+        ref = attn_ref(q, k, v, 1.0, None)
+        got = flash_attention(q, k, v, 1.0, use_pallas=False,
+                              interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_flash_attention_grad_and_scale(self):
+        from pytorchcv_tpu.kernels import flash_attention
+        rng = np.random.RandomState(6)
+        q = jnp.asarray(rng.randn(1, 64, 32), jnp.float32)
+        g = jax.grad(lambda q_: flash_attention(
+            q_, q, q, 0.5, False, False).sum())(q)
+        r = jax.grad(lambda q_: attn_ref(q_, q, q, 0.5, None).sum())(q)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-4)
+
+    def test_flash_unalignable_length_falls_back(self):
+        from pytorchcv_tpu.kernels import flash_attention
+        rng = np.random.RandomState(7)
+        q = jnp.asarray(rng.randn(1, 63, 32), jnp.float32)  # prime-ish L
+        out = flash_attention(q, q, q, 1.0, use_pallas=True)
+        ref = attn_ref(q, q, q, 1.0, None)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
     def test_big_window_falls_back(self):
         # 2048x2048 scores exceed the VMEM budget -> XLA path, same result.
         rng = np.random.RandomState(3)

@@ -90,6 +90,22 @@ def bench_dwconv():
               f"xla {tx:.3f} ms  speedup {tx/tp:.2f}x")
 
 
+def bench_flash():
+    from pytorchcv_tpu.kernels import flash_attention
+    from pytorchcv_tpu.kernels.flash_attention import _xla_ref as fref
+    rng = np.random.RandomState(3)
+    # DANet Cityscapes: B=4, L=60*60, d_qk=64, d_v=512
+    q = jnp.asarray(rng.randn(4, 3600, 64), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(4, 3600, 64), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(4, 3600, 512), jnp.bfloat16)
+    pall = lambda a, b, c: flash_attention(a, b, c, 1.0, use_pallas=True)
+    xla = lambda a, b, c: fref(a, b, c, 1.0)
+    check("flash 3600x3600", pall(q, k, v), xla(q, k, v), atol=0.1)
+    tp = timeit(pall, q, k, v); tx = timeit(xla, q, k, v)
+    print(f"flash-attention (4,3600,64->512): pallas {tp:.3f} ms  "
+          f"xla {tx:.3f} ms  speedup {tx/tp:.2f}x")
+
+
 def bench_attention():
     rng = np.random.RandomState(2)
     for (n, lq, lk, d) in [(240, 225, 450, 128), (960, 45, 45, 128)]:
@@ -110,3 +126,4 @@ if __name__ == "__main__":
     bench_preprocess()
     bench_dwconv()
     bench_attention()
+    bench_flash()
