@@ -47,10 +47,18 @@ def _lax_padding(padding, kernel_size):
     return out
 
 
-def _quantizable(mod, method_name: str, args) -> bool:
+def _is_conv_call(mod, method_name: str, args) -> bool:
     return (isinstance(mod, nn.Conv) and method_name == "__call__"
-            and mod.feature_group_count == 1 and args
-            and hasattr(args[0], "ndim") and args[0].ndim == 4)
+            and args and hasattr(args[0], "ndim") and args[0].ndim == 4)
+
+
+def _quantizable(mod, method_name: str, args) -> bool:
+    # Calibration records every conv input; only dense (group=1) convs are
+    # *swapped* to int8 by the generic quantizer — grouped/depthwise convs
+    # are HBM-bound with no MXU win (the dedicated ResNeXt path in
+    # resnet_int8.py does quantize its grouped 3x3s).
+    return _is_conv_call(mod, method_name, args) and \
+        mod.feature_group_count == 1
 
 
 def calibrate_int8(model, batches: Iterable, variables=None) -> Dict[str, float]:
@@ -67,7 +75,7 @@ def calibrate_int8(model, batches: Iterable, variables=None) -> Dict[str, float]
 
         def ic(next_fn, a, k, ctx):
             mod = ctx.module
-            if _quantizable(mod, ctx.method_name, a):
+            if _is_conv_call(mod, ctx.method_name, a):
                 path = "/".join(str(p) for p in mod.path)
                 amax = jnp.max(jnp.abs(a[0].astype(jnp.float32)))
                 prev = rec.get(path)

@@ -30,8 +30,10 @@ __all__ = ["int8_resnet_apply_fn", "prepare_int8_resnet"]
 _EPS = 1e-5
 
 
-def _cell_consts(cell_params, cell_stats):
-    """Fold conv kernel + BN into {wq int8, gain, bias}."""
+def _cell_consts(cell_params, cell_stats, keep_float: bool = False):
+    """Fold conv kernel + BN into {wq int8, gain, bias} (+ bf16 kernel and
+    BN-only gain when ``keep_float`` — used by the hybrid grouped-conv
+    path, where small channel groups waste the int8 MXU)."""
     kernel = cell_params["conv"]["kernel"].astype(jnp.float32)
     s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
                       1e-12) / 127.0
@@ -41,15 +43,21 @@ def _cell_consts(cell_params, cell_stats):
     mean = cell_stats["bn"]["mean"].astype(jnp.float32)
     var = cell_stats["bn"]["var"].astype(jnp.float32)
     g = gamma * jax.lax.rsqrt(var + _EPS)
-    return {"wq": wq, "gain": s_w * g, "bias": beta - mean * g}
+    out = {"wq": wq, "gain": s_w * g, "bias": beta - mean * g}
+    if keep_float:
+        out["wf"] = kernel.astype(jnp.bfloat16)
+        out["g"] = g
+    return out
 
 
 def _conv_i8(xq, wq, stride, padding=None):
     k = wq.shape[0]
     pad = [(k // 2, k // 2)] * 2 if padding is None else padding
+    groups = xq.shape[-1] // wq.shape[2]     # ResNeXt grouped conv2
     return jax.lax.conv_general_dilated(
         xq, wq, window_strides=(stride, stride), padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
         preferred_element_type=jnp.int32)
 
 
@@ -112,14 +120,31 @@ def _resolve_conv1_stride(model, conv1_stride):
 
 
 def _quantize_tree(params, stats):
-    """Map every conv+bn cell in the features tree to folded int8 consts."""
+    """Map every conv+bn cell in the features tree to folded int8 consts;
+    non-cell leaves (SE gate convs, biases) pass through in f32."""
     out = {}
     for k, v in params.items():
-        if isinstance(v, dict) and "conv" in v and "kernel" in v["conv"]:
+        if isinstance(v, dict) and "conv" in v and "kernel" in v["conv"] \
+                and "bn" in v:
             out[k] = _cell_consts(v, stats[k])
         elif isinstance(v, dict):
-            out[k] = _quantize_tree(v, stats[k])
+            out[k] = _quantize_tree(v, stats.get(k, {}))
+        else:
+            out[k] = v
     return out
+
+
+def _se_gate(t, se):
+    """Squeeze-excitation gate (reference att.py:38) on the bf16 pre-add
+    tensor; all math on the pooled (B,1,1,C) vector — negligible cost."""
+    p = jnp.mean(t.astype(jnp.float32), axis=(1, 2), keepdims=True)
+    k1 = se["conv1"]["kernel"][0, 0].astype(jnp.float32)
+    h = jnp.maximum(jnp.einsum("bijc,cm->bijm", p, k1) +
+                    se["conv1"]["bias"].astype(jnp.float32), 0.0)
+    k2 = se["conv2"]["kernel"][0, 0].astype(jnp.float32)
+    g = jax.nn.sigmoid(jnp.einsum("bijm,mc->bijc", h, k2) +
+                       se["conv2"]["bias"].astype(jnp.float32))
+    return (t.astype(jnp.float32) * g).astype(t.dtype)
 
 
 def _forward(qtree, x, scales, conv1_stride, q_residual=False):
@@ -154,22 +179,33 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False):
             elif stage != last_stage:
                 nxt = f"features/{stage_names[si+1]}/unit1/body/conv1/conv"
             s_next = sc(nxt) if nxt else None
+            has_se = "se" in uq
             if bottleneck:
-                s1, s2 = (stride, 1) if conv1_stride else (1, stride)
+                grouped = (body["conv2"]["wq"].shape[2] !=
+                           body["conv1"]["wq"].shape[3])
+                # ResNeXt always strides at the grouped 3x3.
+                c1s = False if grouped else conv1_stride
+                s1, s2 = (stride, 1) if c1s else (1, stride)
+                # NOTE: an A/B'd hybrid (grouped 3x3 in bf16 between int8
+                # 1x1s) measured slower than full int8 on v5e (5.8k vs
+                # 6.6k img/s for resnext50) — the extra dtype transitions
+                # cost more than the small-group MXU waste. Full int8.
                 t = _cell(xq, s_in, body["conv1"], s1, True,
                           sc(f"{prefix}/conv2/conv"))
-                t = _cell(t, sc(f"{prefix}/conv2/conv"), body["conv2"], s2,
-                          True, sc(f"{prefix}/conv3/conv"))
+                t = _cell(t, sc(f"{prefix}/conv2/conv"), body["conv2"],
+                          s2, True, sc(f"{prefix}/conv3/conv"))
                 last_cell, s_last = body["conv3"], sc(f"{prefix}/conv3/conv")
             else:
                 t = _cell(xq, s_in, body["conv1"], stride, True,
                           sc(f"{prefix}/conv2/conv"))
                 last_cell, s_last = body["conv2"], sc(f"{prefix}/conv2/conv")
-            if nxt is None or not q_residual:
+            if nxt is None or not q_residual or has_se:
                 # bf16-domain residual add (default: measured faster on
                 # v5e — int8 elementwise adds widen to int32 on the VPU
                 # and break the conv epilogue fusion).
                 t = _cell(t, s_last, last_cell, 1, False)
+                if has_se:
+                    t = _se_gate(t, uq["se"])
                 if "identity_conv" in uq:
                     idf = _cell(xq, s_in, uq["identity_conv"], stride,
                                 False)

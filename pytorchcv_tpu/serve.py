@@ -41,7 +41,7 @@ def _is_plain_resnet(variables) -> bool:
                 body = up.get("body", {})
                 if "conv1" not in body or "conv" not in body["conv1"]:
                     return False
-                extra = set(up) - {"body", "identity_conv"}
+                extra = set(up) - {"body", "identity_conv", "se"}
                 if extra:
                     return False
         return "output" in variables["params"] and \

@@ -16,7 +16,8 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 DEFAULT = [
     "alexnet", "resnet18", "resnet50", "mobilenet_w1", "mobilenetv2_w1",
     "mobilenetv3_large_w1", "shufflenetv2_w1", "seresnet50", "densenet121",
-    "efficientnet_b0", "mixnet_s", "resnet20_cifar10", "wrn28_10_cifar10",
+    "efficientnet_b0", "mixnet_s", "regnetx002", "resnet20_cifar10",
+    "wrn28_10_cifar10",
 ]
 
 
