@@ -71,6 +71,26 @@ class TestPreprocess:
              np.array([0.229, 0.224, 0.225])), atol=1e-5)
 
 
+class TestStemConv:
+    def test_interpret_exactness(self):
+        """im2col-in-VMEM stem: bit-exact vs the XLA conv chain
+        (interpret mode; Mosaic lowering pending — see module docstring)."""
+        from pytorchcv_tpu.kernels.stem_conv import stem_conv7x7_s2
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
+        k7 = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
+        gain = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
+        bias = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k7, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ref = jnp.maximum(ref * gain + bias, 0.0)
+        refq = jnp.clip(jnp.round(ref * (127.0 / 4.0)),
+                        -127, 127).astype(jnp.int8)
+        got = stem_conv7x7_s2(x, k7, gain, bias, 4.0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(refq))
+
+
 class TestDwconv:
     @pytest.mark.parametrize("stride,k,c,h,w", [
         (1, 3, 16, 12, 12),
