@@ -26,12 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["fused_window_attention"]
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, masked):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     q = q_ref[0].astype(jnp.float32)
     k = k_ref[0].astype(jnp.float32)
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
-    del masked
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -88,7 +87,7 @@ def _pallas(q, k, v, mask, scale, interpret):
         args.append(mf)
         kern = functools.partial(_attn_mask_kernel, scale=scale)
     else:
-        kern = functools.partial(_attn_kernel, scale=scale, masked=False)
+        kern = functools.partial(_attn_kernel, scale=scale)
     out = pl.pallas_call(
         kern,
         grid=(n,),
@@ -123,7 +122,7 @@ def _fused_bwd(scale, use_pallas, interpret, res, g):
     q, k, v, mask = res
     _, vjp = jax.vjp(lambda q_, k_, v_, m_: _xla_ref(q_, k_, v_, scale, m_),
                      q, k, v, mask)
-    return vjp(g.astype(jnp.float32))
+    return vjp(g.astype(q.dtype))
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)

@@ -72,13 +72,8 @@ def _pick(n, cap):
 
 
 def _xla_ref(q, k, v, scale):
-    s = jnp.einsum("...qd,...kd->...qk", q.astype(jnp.float32),
-                   k.astype(jnp.float32))
-    if scale != 1.0:
-        s = s * scale
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("...qk,...kd->...qd", p,
-                      v.astype(jnp.float32)).astype(q.dtype)
+    from .attention import _xla_ref as _dense_attn
+    return _dense_attn(q, k, v, scale, None)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

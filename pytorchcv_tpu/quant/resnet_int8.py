@@ -30,10 +30,8 @@ __all__ = ["int8_resnet_apply_fn", "prepare_int8_resnet"]
 _EPS = 1e-5
 
 
-def _cell_consts(cell_params, cell_stats, keep_float: bool = False):
-    """Fold conv kernel + BN into {wq int8, gain, bias} (+ bf16 kernel and
-    BN-only gain when ``keep_float`` — used by the hybrid grouped-conv
-    path, where small channel groups waste the int8 MXU)."""
+def _cell_consts(cell_params, cell_stats):
+    """Fold conv kernel + BN into {wq int8, gain, bias}."""
     kernel = cell_params["conv"]["kernel"].astype(jnp.float32)
     s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
                       1e-12) / 127.0
@@ -43,11 +41,7 @@ def _cell_consts(cell_params, cell_stats, keep_float: bool = False):
     mean = cell_stats["bn"]["mean"].astype(jnp.float32)
     var = cell_stats["bn"]["var"].astype(jnp.float32)
     g = gamma * jax.lax.rsqrt(var + _EPS)
-    out = {"wq": wq, "gain": s_w * g, "bias": beta - mean * g}
-    if keep_float:
-        out["wf"] = kernel.astype(jnp.bfloat16)
-        out["g"] = g
-    return out
+    return {"wq": wq, "gain": s_w * g, "bias": beta - mean * g}
 
 
 def _conv_i8(xq, wq, stride, padding=None):

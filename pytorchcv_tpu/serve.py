@@ -3,10 +3,11 @@ program.
 
 Composes the subsystems the north star asks for end-to-end:
 preprocessing (``kernels.preprocess``: PIL-exact resize + crop + normalize
-as MXU matmuls) -> int8 PTQ forward (``quant``: the dedicated int8-storage
-ResNet pipeline when the model has a plain ResNet tree, else the generic
-interception quantizer, else bf16) -> optional data-parallel sharding over
-a ``jax.sharding.Mesh``.
+as MXU matmuls) -> forward at the measured-best precision (``quant``: the
+dedicated int8-storage ResNet pipeline for plain ResNet trees; bf16 for
+other families, where the generic int8 quantizer measured slower;
+``mode='int8'`` forces generic interception int8) -> optional
+data-parallel sharding over a ``jax.sharding.Mesh``.
 
     serve = make_serving_fn("resnet50", source_hw=(256, 256))
     logits = serve(batch_u8)          # (B, 256, 256, 3) uint8 -> (B, 1000)
@@ -56,9 +57,18 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                     mesh=None, pretrained: bool = False) -> Callable:
     """Build a jitted ``uint8 (B, H, W, 3) -> logits`` closure.
 
-    ``mode``: 'auto' (int8 where supported), 'int8', 'bf16'.
-    ``calib_batches``: real preprocessed batches for PTQ calibration
-    (random data by default — pass real samples for deployment).
+    ``mode``:
+      'auto' — the measured-best path per family: the int8-storage
+      pipeline for plain-ResNet trees, bf16 otherwise (the generic int8
+      quantizer measured *slower* than bf16 for HBM-bound families like
+      mobilenets — tools/bench_kernels.py, README Benchmarks);
+      'int8' — force int8 (storage pipeline or generic interception);
+      'bf16' — force bf16.
+    ``calib_batches``: real *preprocessed* batches for PTQ calibration.
+    By default, random uint8 images are pushed through the same
+    preprocess closure so calibration sees the deployment input domain
+    (ImageNet-normalized, roughly [-2.1, 2.6]) — pass real samples for
+    deployment-grade scales.
     ``mesh``: optional Mesh; batch is sharded over its 'data' axis.
     """
     model = get_model(model_name, pretrained=pretrained)
@@ -71,14 +81,13 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     use_int8 = mode in ("auto", "int8")
     infer = None
     if use_int8 and _is_plain_resnet(model.variables):
-        from .quant import calibrate_int8
         from .quant.resnet_int8 import prepare_int8_resnet
-        scales = _calibrate(model, calib_batches)
+        scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_resnet(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif use_int8 and mode == "int8":
-        from .quant import calibrate_int8, int8_apply_fn
-        scales = _calibrate(model, calib_batches)
+    elif mode == "int8":
+        from .quant import int8_apply_fn
+        scales = _calibrate(model, calib_batches, pre, source_hw)
         fn = int8_apply_fn(model, scales)
         variables = model.variables
         infer = lambda x: fn(variables, x)
@@ -97,10 +106,15 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     return jax.jit(pipeline, in_shardings=(spec,), out_shardings=spec)
 
 
-def _calibrate(model, calib_batches):
+def _calibrate(model, calib_batches, pre, source_hw):
+    """Calibrate in the *preprocessed* input domain: random uint8 frames
+    pushed through the same preprocess closure the pipeline serves with
+    (uniform [0,1) activations would mis-scale every layer — the
+    normalized domain spans roughly [-2.1, 2.6])."""
     from .quant import calibrate_int8
     if calib_batches is None:
-        calib_batches = [jax.random.uniform(
-            jax.random.PRNGKey(0),
-            (8, *model.in_size, model.in_channels), jnp.float32)]
+        raw = jax.random.randint(jax.random.PRNGKey(0),
+                                 (8, *source_hw, model.in_channels),
+                                 0, 256, jnp.uint8)
+        calib_batches = [pre(raw).astype(jnp.float32)]
     return calibrate_int8(model, calib_batches)

@@ -35,6 +35,28 @@ def test_sharded_serving():
     assert logits.shape == (16, 1000)
 
 
+def test_default_calibration_runs_in_preprocessed_domain():
+    """Default calibration must see ImageNet-normalized inputs (amax ~2+),
+    not raw [0,1) pixels — a domain mismatch saturates every layer."""
+    from pytorchcv_tpu.serve import _calibrate
+    from pytorchcv_tpu.kernels.preprocess import classification_preprocess
+    model = ptc.get_model("resnet10", in_size=(64, 64))
+    pre = classification_preprocess(64, (74, 74), out_dtype=jnp.float32)
+    scales = _calibrate(model, None, pre, (74, 74))
+    stem = scales["features/init_block/conv/conv"]
+    assert stem > 1.5, stem
+
+
+def test_generic_int8_mode_for_non_resnet():
+    serve = make_serving_fn("mobilenet_wd4", source_hw=(74, 74),
+                            mode="int8")
+    raw = np.random.RandomState(3).randint(0, 256, (2, 74, 74, 3),
+                                           np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
 def test_plain_resnet_detector():
     assert _is_plain_resnet(
         ptc.get_model("resnet10", in_size=(64, 64)).variables)
