@@ -30,6 +30,8 @@ def _is_plain_resnet(variables) -> bool:
     int8-storage pipeline understands."""
     try:
         f = variables["params"]["features"]
+        if "post_activ" in f:       # pre-activation family (PreResNet):
+            return False            # different math — own pipeline
         if "init_block" not in f or "conv" not in f["init_block"]:
             return False
         if "conv" not in f["init_block"]["conv"]:
@@ -47,6 +49,31 @@ def _is_plain_resnet(variables) -> bool:
                     return False
         return "output" in variables["params"] and \
             "kernel" in variables["params"]["output"]
+    except (KeyError, TypeError, AttributeError):
+        return False
+
+
+def _is_plain_preresnet(variables) -> bool:
+    """True for the pre-activation family layout (post_activ bn, bn-first
+    cells, bare identity convs) that ``quant.preresnet_int8`` serves."""
+    try:
+        f = variables["params"]["features"]
+        if "post_activ" not in f or "init_block" not in f:
+            return False
+        ib = f["init_block"]
+        if set(ib) != {"bn", "conv"} or set(ib["conv"]) != {"kernel"}:
+            return False
+        for st in (k for k in f if k.startswith("stage")):
+            for up in f[st].values():
+                body = up.get("body", {})
+                if "conv1" not in body or "bn" not in body["conv1"]:
+                    return False
+                if set(up) - {"body", "identity_conv", "se"}:
+                    return False
+                if "identity_conv" in up and \
+                        set(up["identity_conv"]) != {"kernel"}:
+                    return False
+        return "output" in variables["params"]
     except (KeyError, TypeError, AttributeError):
         return False
 
@@ -84,6 +111,11 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         from .quant.resnet_int8 import prepare_int8_resnet
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_resnet(model, scales)
+        infer = lambda x: fn(qtree, x)
+    elif use_int8 and _is_plain_preresnet(model.variables):
+        from .quant.preresnet_int8 import prepare_int8_preresnet
+        scales = _calibrate(model, calib_batches, pre, source_hw)
+        fn, qtree = prepare_int8_preresnet(model, scales)
         infer = lambda x: fn(qtree, x)
     elif mode == "int8":
         from .quant import int8_apply_fn

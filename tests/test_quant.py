@@ -90,6 +90,31 @@ class TestResnetInt8Pipeline:
         assert cos > 0.99 and agree == 1.0, (cos, agree)
 
 
+class TestPreResnetInt8Pipeline:
+    @pytest.mark.parametrize("name", ["preresnet18", "preresnet50",
+                                      "preresnet50b", "sepreresnet16"])
+    def test_parity(self, name):
+        from pytorchcv_tpu.quant.preresnet_int8 import \
+            prepare_int8_preresnet
+        model = ptc.get_model(name, in_size=(64, 64))
+        calib = [jax.random.uniform(jax.random.PRNGKey(i), (4, 64, 64, 3))
+                 for i in range(2)]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_preresnet(model, scales)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+        y8 = jax.jit(fn)(qtree, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.995 and agree == 1.0, (name, cos, agree)
+
+    def test_serve_dispatch(self):
+        from pytorchcv_tpu.serve import (_is_plain_preresnet,
+                                         _is_plain_resnet)
+        v = ptc.get_model("preresnet18", in_size=(64, 64)).variables
+        assert _is_plain_preresnet(v)
+        assert not _is_plain_resnet(v)
+
+
 class TestSpaceToDepthStem:
     def test_exact_vs_direct_conv(self):
         rng = np.random.RandomState(0)
