@@ -72,22 +72,34 @@ class TestPreprocess:
 
 
 class TestStemConv:
+    @staticmethod
+    def _int8_reference(x, k7, gain, bias, s_img, s_out):
+        """The int8 math the kernel implements, via plain XLA ops."""
+        k = np.asarray(k7, np.float32)
+        s_w = np.maximum(np.abs(k).max(axis=(0, 1, 2)), 1e-12) / 127.0
+        wq = jnp.asarray(np.clip(np.round(k / s_w), -127, 127), jnp.int8)
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) * (127.0 / s_img)),
+                      -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        y = y * (jnp.asarray(s_w) * gain * (s_img / 127.0)) + bias
+        y = jnp.maximum(y, 0.0)
+        return jnp.clip(jnp.round(y * (127.0 / s_out)),
+                        -127, 127).astype(jnp.int8)
+
     def test_interpret_exactness(self):
-        """im2col-in-VMEM stem: bit-exact vs the XLA conv chain
-        (interpret mode; Mosaic lowering pending — see module docstring)."""
+        """Banded-matmul stem: bit-exact vs the equivalent int8 XLA chain
+        (interpret mode; real-chip parity checked by the TPU benchmark)."""
         from pytorchcv_tpu.kernels.stem_conv import stem_conv7x7_s2
         rng = np.random.RandomState(0)
         x = jnp.asarray(rng.rand(2, 64, 64, 3), jnp.float32)
         k7 = jnp.asarray(rng.randn(7, 7, 3, 64) * 0.1, jnp.float32)
         gain = jnp.asarray(rng.rand(64) + 0.5, jnp.float32)
         bias = jnp.asarray(rng.randn(64) * 0.1, jnp.float32)
-        ref = jax.lax.conv_general_dilated(
-            x, k7, (2, 2), [(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        ref = jnp.maximum(ref * gain + bias, 0.0)
-        refq = jnp.clip(jnp.round(ref * (127.0 / 4.0)),
-                        -127, 127).astype(jnp.int8)
-        got = stem_conv7x7_s2(x, k7, gain, bias, 4.0, interpret=True)
+        refq = self._int8_reference(x, k7, gain, bias, 2.0, 4.0)
+        got = stem_conv7x7_s2(x, k7, gain, bias, 2.0, 4.0, interpret=True)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(refq))
 
 
