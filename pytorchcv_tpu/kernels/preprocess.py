@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["IMAGENET_MEAN", "IMAGENET_STD", "resize_matrices",
-           "preprocess_batch", "classification_preprocess"]
+           "preprocess_batch", "classification_preprocess",
+           "segmentation_preprocess"]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -188,6 +189,25 @@ def classification_preprocess(model_name_or_size, in_hw: Tuple[int, int],
 
     def run(images_u8):
         return preprocess_batch(images_u8, r, ct, out_dtype=out_dtype,
+                                use_pallas=use_pallas)
+
+    return run
+
+
+def segmentation_preprocess(out_hw: Tuple[int, int], in_hw: Tuple[int, int],
+                            mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                            out_dtype=jnp.bfloat16,
+                            use_pallas: Optional[bool] = None):
+    """Dense-prediction input pipeline: PIL-bilinear resize straight to the
+    model's fixed size (no aspect crop — the reference's seg heads take
+    ``fixed_size`` ctor inputs, e.g. 480x480 VOC / 1024x2048 Cityscapes)
+    + normalize, as the same two MXU interpolation matmuls."""
+    r = jnp.asarray(_pil_bilinear_matrix(in_hw[0], out_hw[0]))
+    ct = jnp.asarray(_pil_bilinear_matrix(in_hw[1], out_hw[1]).T)
+
+    def run(images_u8):
+        return preprocess_batch(images_u8, r, ct, mean=tuple(mean),
+                                std=tuple(std), out_dtype=out_dtype,
                                 use_pallas=use_pallas)
 
     return run

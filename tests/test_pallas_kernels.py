@@ -59,6 +59,18 @@ class TestPreprocess:
         # tolerance covers that quantization.
         np.testing.assert_allclose(np.asarray(got), expect, atol=0.04)
 
+    def test_segmentation_preprocess(self):
+        from pytorchcv_tpu.kernels.preprocess import segmentation_preprocess
+        run = segmentation_preprocess((32, 48), (50, 70),
+                                      out_dtype=jnp.float32,
+                                      use_pallas=False)
+        out = run(np.zeros((2, 50, 70, 3), np.uint8))
+        assert out.shape == (2, 32, 48, 3)
+        np.testing.assert_allclose(
+            np.asarray(out)[0, 0, 0],
+            (-np.array([0.485, 0.456, 0.406]) /
+             np.array([0.229, 0.224, 0.225])), atol=1e-5)
+
     def test_classification_preprocess_closure(self):
         run = classification_preprocess(32, (48, 48), out_dtype=jnp.float32,
                                         use_pallas=False)
