@@ -57,6 +57,15 @@ def test_generic_int8_mode_for_non_resnet():
     assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
 
 
+def test_preresnet_serving_end_to_end():
+    serve = make_serving_fn("preresnet10", source_hw=(74, 74))
+    raw = np.random.RandomState(5).randint(0, 256, (2, 74, 74, 3),
+                                           np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
 def test_plain_resnet_detector():
     assert _is_plain_resnet(
         ptc.get_model("resnet10", in_size=(64, 64)).variables)
