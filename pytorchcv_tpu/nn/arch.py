@@ -18,8 +18,9 @@ from .base import Composed, call_block
 
 __all__ = [
     "Sequential", "DualPathSequential", "Concurrent", "SequentialConcurrent",
-    "ParametricSequential", "MultiOutputSequential", "ParallelConcurent",
-    "Hourglass", "SesquialteralHourglass", "positional_layers",
+    "ParametricSequential", "ParametricConcurrent", "MultiOutputSequential",
+    "ParallelConcurent", "DualPathParallelConcurent", "Hourglass",
+    "SesquialteralHourglass", "positional_layers",
 ]
 
 
@@ -183,6 +184,45 @@ class ParallelConcurent(Composed):
         cache: dict = {}
         return [self.adopt_call(layer, x, train=train, _cache=cache)
                 for layer, x in zip(self.layers, xs)]
+
+
+class ParametricConcurrent(Composed):
+    """Concurrent with kwargs passed to every child, outputs concatenated
+    (reference arch.py:147)."""
+
+    layers: Sequence[Any] = ()
+    axis: int = -1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, **kwargs):
+        cache: dict = {}
+        outs = [self.adopt_call(layer, x, train=train, _cache=cache,
+                                **kwargs)
+                for layer in self.layers]
+        return jnp.concatenate(outs, axis=self.axis)
+
+
+class DualPathParallelConcurent(Composed):
+    """Per-index dual-path container: the i-th child consumes and produces
+    the (x_i, y_i) pair (reference arch.py:387; torch jasper uses it to
+    thread (features, lengths) through parallel branches)."""
+
+    layers: Sequence[Any] = ()
+
+    @nn.compact
+    def __call__(self, xs, ys, train: bool = False):
+        from .base import accepts_train
+        cache: dict = {}
+        out_x, out_y = [], []
+        for layer, x, y in zip(self.layers, xs, ys):
+            m = self.adopt(layer, cache)
+            if accepts_train(m):
+                x, y = m(x, y, train=train)
+            else:
+                x, y = m(x, y)
+            out_x.append(x)
+            out_y.append(y)
+        return out_x, out_y
 
 
 class IndexedSeq(Composed):
