@@ -126,16 +126,36 @@ class Model:
         assert self.variables is not None, "call .init() first"
         if train:
             return self.apply(self.variables, x, *extra, train=True)
-        return self._jit_infer(x, *extra)
+        # Non-array positionals (e.g. ProPainter's local-frame count
+        # ``lt``, used in static slicing) must stay out of the trace.
+        args = (x,) + extra
+        is_arr = tuple(hasattr(a, "shape") or isinstance(a, (np.ndarray,))
+                       for a in args)
+        statics = tuple(a for a, arr in zip(args, is_arr) if not arr)
+        dynamic = tuple(a for a, arr in zip(args, is_arr) if arr)
+        fn = self._jit_infer(is_arr, statics)
+        return fn(self.variables, *dynamic)
 
     @functools.cached_property
-    def _jit_infer(self):
+    def _infer_cache(self):
+        return {}
+
+    def _jit_infer(self, is_arr, statics):
         # Variables are a jit ARGUMENT, not a closure: closed-over arrays
         # are baked into the HLO as constants, which bloats the program
         # (and overflows remote-compile payloads) for large models.
-        fn = jax.jit(lambda variables, *a: self.module.apply(
-            variables, *a, train=False))
-        return lambda *a: fn(self.variables, *a)
+        key = (is_arr, statics)
+        fn = self._infer_cache.get(key)
+        if fn is None:
+            def reassemble(variables, *dynamic):
+                it_d = iter(dynamic)
+                it_s = iter(statics)
+                full = [next(it_d) if arr else next(it_s)
+                        for arr in is_arr]
+                return self.module.apply(variables, *full, train=False)
+            fn = jax.jit(reassemble)
+            self._infer_cache[key] = fn
+        return fn
 
     def save(self, path: str) -> str:
         """Serialize variables to a native single-file checkpoint (flax
