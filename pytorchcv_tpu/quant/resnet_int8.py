@@ -145,13 +145,24 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False):
     f = qtree["features"]
     sc = scales.__getitem__
 
-    s_img = sc("features/init_block/conv/conv")
     s_u1 = sc("features/stage1/unit1/body/conv1/conv")
-    xq = _quant(x, s_img)
     stem = f["init_block"]["conv"]
-    xs, ws = _space_to_depth_stem(xq, stem["wq"])
-    y = _conv_i8(xs, ws, 1, [(1, 0), (1, 0)]).astype(jnp.float32)
-    y = jnp.maximum(y * (stem["gain"] * (s_img / 127.0)) + stem["bias"], 0.0)
+    if "kf" in stem:
+        # bf16 folded stem (measured fastest: the C_in=3 conv is
+        # layout-bound, so skipping the image quant + s2d transposes wins
+        # ~0.5 ms/batch-384 over the int8 space-to-depth variant).
+        y = jax.lax.conv_general_dilated(
+            x.astype(jnp.bfloat16), stem["kf"], (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = jnp.maximum(y + stem["bias"], 0.0)
+    else:
+        s_img = sc("features/init_block/conv/conv")
+        xq = _quant(x, s_img)
+        xs, ws = _space_to_depth_stem(xq, stem["wq"])
+        y = _conv_i8(xs, ws, 1, [(1, 0), (1, 0)]).astype(jnp.float32)
+        y = jnp.maximum(y * (stem["gain"] * (s_img / 127.0)) +
+                        stem["bias"], 0.0)
     xq = _maxpool_i8(_quant(y, s_u1))
     s_in = s_u1
 
@@ -252,6 +263,17 @@ def prepare_int8_resnet(model, scales: Dict[str, float],
     stats = model.variables["batch_stats"]
     qparams = jax.jit(_quantize_tree)(params["features"],
                                       stats["features"])
+    # Exact bf16 folded stem kernel (kernel * bn-gain), bias already in
+    # the quantized cell consts.
+    stem_p = params["features"]["init_block"]["conv"]
+    stem_s = stats["features"]["init_block"]["conv"]
+    g0 = stem_p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        stem_s["bn"]["var"].astype(jnp.float32) + _EPS)
+    qparams = dict(qparams)
+    qparams["init_block"] = {"conv": dict(qparams["init_block"]["conv"])}
+    qparams["init_block"]["conv"]["kf"] = (
+        stem_p["conv"]["kernel"].astype(jnp.float32) * g0
+    ).astype(jnp.bfloat16)
     head = params["output"]
     qtree = {"features": qparams,
              "output": {"kernel": head["kernel"].astype(jnp.bfloat16),
@@ -272,9 +294,17 @@ def int8_resnet_apply_fn(model, scales: Dict[str, float],
     def fn(variables, x):
         params = variables["params"]
         stats = variables["batch_stats"]
-        qtree = {"features": _quantize_tree(params["features"],
-                                            stats["features"]),
-                 "output": params["output"]}
+        qfeat = _quantize_tree(params["features"], stats["features"])
+        stem_p = params["features"]["init_block"]["conv"]
+        stem_s = stats["features"]["init_block"]["conv"]
+        g0 = stem_p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+            stem_s["bn"]["var"].astype(jnp.float32) + _EPS)
+        qfeat = dict(qfeat)
+        qfeat["init_block"] = {"conv": dict(qfeat["init_block"]["conv"])}
+        qfeat["init_block"]["conv"]["kf"] = (
+            stem_p["conv"]["kernel"].astype(jnp.float32) * g0
+        ).astype(jnp.bfloat16)
+        qtree = {"features": qfeat, "output": params["output"]}
         return _forward(qtree, x, scales, c1s)
 
     return fn

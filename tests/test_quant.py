@@ -18,10 +18,18 @@ from pytorchcv_tpu.quant.resnet_int8 import (_space_to_depth_stem,
 
 
 def _agreement(y8, yf):
+    """Cosine + top-1 agreement over samples with a decisive top-2
+    margin (random-weight logits are often near-tied; int8/bf16 rounding
+    legitimately flips those without being a math error)."""
     y8 = y8.astype(jnp.float32)
     cos = float(jnp.sum(y8 * yf) /
                 (jnp.linalg.norm(y8) * jnp.linalg.norm(yf)))
-    agree = float(jnp.mean(jnp.argmax(y8, 1) == jnp.argmax(yf, 1)))
+    top2 = jax.lax.top_k(yf, 2)[0]
+    margin = (top2[:, 0] - top2[:, 1]) / (
+        jnp.max(jnp.abs(yf), axis=1) + 1e-9)
+    decisive = margin > 0.02
+    same = (jnp.argmax(y8, 1) == jnp.argmax(yf, 1)) | ~decisive
+    agree = float(jnp.mean(same))
     return cos, agree
 
 
