@@ -146,25 +146,44 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False):
     sc = scales.__getitem__
 
     s_u1 = sc("features/stage1/unit1/body/conv1/conv")
-    stem = f["init_block"]["conv"]
-    if "kf" in stem:
-        # bf16 folded stem (measured fastest: the C_in=3 conv is
-        # layout-bound, so skipping the image quant + s2d transposes wins
-        # ~0.5 ms/batch-384 over the int8 space-to-depth variant).
+    if "conv" not in f["init_block"]:
+        # Deep 3-conv stem (SENet SEInitBlock): conv1 (C_in=3) in folded
+        # bf16, conv2/conv3 int8, maxpool int8.
+        ib = f["init_block"]
         y = jax.lax.conv_general_dilated(
-            x.astype(jnp.bfloat16), stem["kf"], (2, 2), [(3, 3), (3, 3)],
+            x.astype(jnp.bfloat16), ib["conv1"]["kf"], (2, 2),
+            [(1, 1), (1, 1)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
-        y = jnp.maximum(y + stem["bias"], 0.0)
+        y = jnp.maximum(y + ib["conv1"]["bias"], 0.0)
+        s2 = sc("features/init_block/conv2/conv")
+        s3 = sc("features/init_block/conv3/conv")
+        xq = _quant(y, s2)
+        xq = _cell(xq, s2, ib["conv2"], 1, True, s3)
+        xq = _cell(xq, s3, ib["conv3"], 1, True, s_u1)
+        xq = _maxpool_i8(xq)
+        s_in = s_u1
     else:
-        s_img = sc("features/init_block/conv/conv")
-        xq = _quant(x, s_img)
-        xs, ws = _space_to_depth_stem(xq, stem["wq"])
-        y = _conv_i8(xs, ws, 1, [(1, 0), (1, 0)]).astype(jnp.float32)
-        y = jnp.maximum(y * (stem["gain"] * (s_img / 127.0)) +
-                        stem["bias"], 0.0)
-    xq = _maxpool_i8(_quant(y, s_u1))
-    s_in = s_u1
+        stem = f["init_block"]["conv"]
+        if "kf" in stem:
+            # bf16 folded stem (measured fastest: the C_in=3 conv is
+            # layout-bound, so skipping the image quant + s2d transposes
+            # wins ~0.5 ms/batch-384 over int8 space-to-depth).
+            y = jax.lax.conv_general_dilated(
+                x.astype(jnp.bfloat16), stem["kf"], (2, 2),
+                [(3, 3), (3, 3)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            y = jnp.maximum(y + stem["bias"], 0.0)
+        else:
+            s_img = sc("features/init_block/conv/conv")
+            xq = _quant(x, s_img)
+            xs, ws = _space_to_depth_stem(xq, stem["wq"])
+            y = _conv_i8(xs, ws, 1, [(1, 0), (1, 0)]).astype(jnp.float32)
+            y = jnp.maximum(y * (stem["gain"] * (s_img / 127.0)) +
+                            stem["bias"], 0.0)
+        xq = _maxpool_i8(_quant(y, s_u1))
+        s_in = s_u1
 
     stage_names = sorted(k for k in f if k.startswith("stage"))
     last_stage = stage_names[-1]
@@ -263,18 +282,23 @@ def prepare_int8_resnet(model, scales: Dict[str, float],
     stats = model.variables["batch_stats"]
     qparams = jax.jit(_quantize_tree)(params["features"],
                                       stats["features"])
-    # Exact bf16 folded stem kernel (kernel * bn-gain), bias already in
-    # the quantized cell consts.
-    stem_p = params["features"]["init_block"]["conv"]
-    stem_s = stats["features"]["init_block"]["conv"]
+    # Exact bf16 folded stem kernel (kernel * bn-gain) for the first
+    # conv; bias already lives in the quantized cell consts.
+    first = "conv" if "conv" in params["features"]["init_block"] \
+        else "conv1"
+    stem_p = params["features"]["init_block"][first]
+    stem_s = stats["features"]["init_block"][first]
     g0 = stem_p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
         stem_s["bn"]["var"].astype(jnp.float32) + _EPS)
     qparams = dict(qparams)
-    qparams["init_block"] = {"conv": dict(qparams["init_block"]["conv"])}
-    qparams["init_block"]["conv"]["kf"] = (
+    qparams["init_block"] = dict(qparams["init_block"])
+    qparams["init_block"][first] = dict(qparams["init_block"][first])
+    qparams["init_block"][first]["kf"] = (
         stem_p["conv"]["kernel"].astype(jnp.float32) * g0
     ).astype(jnp.bfloat16)
     head = params["output"]
+    if "kernel" not in head:          # senet nests the Linear under 'fc'
+        head = head["fc"]
     qtree = {"features": qparams,
              "output": {"kernel": head["kernel"].astype(jnp.bfloat16),
                         "bias": head["bias"].astype(jnp.float32)}}
@@ -295,16 +319,22 @@ def int8_resnet_apply_fn(model, scales: Dict[str, float],
         params = variables["params"]
         stats = variables["batch_stats"]
         qfeat = _quantize_tree(params["features"], stats["features"])
-        stem_p = params["features"]["init_block"]["conv"]
-        stem_s = stats["features"]["init_block"]["conv"]
+        first = "conv" if "conv" in params["features"]["init_block"] \
+            else "conv1"
+        stem_p = params["features"]["init_block"][first]
+        stem_s = stats["features"]["init_block"][first]
         g0 = stem_p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
             stem_s["bn"]["var"].astype(jnp.float32) + _EPS)
         qfeat = dict(qfeat)
-        qfeat["init_block"] = {"conv": dict(qfeat["init_block"]["conv"])}
-        qfeat["init_block"]["conv"]["kf"] = (
+        qfeat["init_block"] = dict(qfeat["init_block"])
+        qfeat["init_block"][first] = dict(qfeat["init_block"][first])
+        qfeat["init_block"][first]["kf"] = (
             stem_p["conv"]["kernel"].astype(jnp.float32) * g0
         ).astype(jnp.bfloat16)
-        qtree = {"features": qfeat, "output": params["output"]}
+        head = params["output"]
+        if "kernel" not in head:
+            head = head["fc"]
+        qtree = {"features": qfeat, "output": head}
         return _forward(qtree, x, scales, c1s)
 
     return fn

@@ -32,9 +32,20 @@ def _is_plain_resnet(variables) -> bool:
         f = variables["params"]["features"]
         if "post_activ" in f:       # pre-activation family (PreResNet):
             return False            # different math — own pipeline
-        if "init_block" not in f or "conv" not in f["init_block"]:
+        if "init_block" not in f:
             return False
-        if "conv" not in f["init_block"]["conv"]:
+        ib = f["init_block"]
+        if "conv" in ib:
+            if "conv" not in ib["conv"]:
+                return False
+        elif set(ib) == {"conv1", "conv2", "conv3"}:
+            # Deep 3-conv stem: SENet only (every unit carries SE).
+            # ResNet(D) shares the stem shape but has dilated stages the
+            # tree can't express — its units have no 'se', so reject.
+            if not all("se" in up for st in f if st.startswith("stage")
+                       for up in f[st].values()):
+                return False
+        else:
             return False
         stages = [k for k in f if k.startswith("stage")]
         if not stages:
@@ -47,8 +58,8 @@ def _is_plain_resnet(variables) -> bool:
                 extra = set(up) - {"body", "identity_conv", "se"}
                 if extra:
                     return False
-        return "output" in variables["params"] and \
-            "kernel" in variables["params"]["output"]
+        out = variables["params"].get("output", {})
+        return "kernel" in out or "kernel" in out.get("fc", {})
     except (KeyError, TypeError, AttributeError):
         return False
 

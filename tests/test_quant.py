@@ -60,7 +60,8 @@ class TestGenericPTQ:
 class TestResnetInt8Pipeline:
     @pytest.mark.parametrize("name", ["resnet10", "resnet18", "resnet50",
                                       "resnet50b", "seresnet18",
-                                      "seresnet50", "resnext50_32x4d"])
+                                      "seresnet50", "resnext50_32x4d",
+                                      "senet16"])
     def test_parity(self, name):
         model = ptc.get_model(name, in_size=(64, 64))
         calib = [jax.random.uniform(jax.random.PRNGKey(i), (4, 64, 64, 3))
