@@ -76,12 +76,15 @@ def resize_matrices(in_hw: Tuple[int, int], crop_size: Union[int, Tuple[int, int
     else:
         crop_h, crop_w = crop_size
     resize_value = int(round(crop_h / scale))
+    # torchvision Resize truncates the long side: int(size * long / short)
+    # (_compute_resized_output_size) — int(round(...)) can drift the crop
+    # window by 1px, which the reference README flags as accuracy-sensitive.
     if in_h <= in_w:
         rh = resize_value
-        rw = max(int(round(in_w * resize_value / in_h)), crop_w)
+        rw = max(int(in_w * resize_value / in_h), crop_w)
     else:
         rw = resize_value
-        rh = max(int(round(in_h * resize_value / in_w)), crop_h)
+        rh = max(int(in_h * resize_value / in_w), crop_h)
     full_r = _pil_bilinear_matrix(in_h, rh)
     full_c = _pil_bilinear_matrix(in_w, rw)
     top = (rh - crop_h) // 2

@@ -23,6 +23,22 @@ def _leaf_count(tree) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
 
 
+def _is_dynamic_arg(a) -> bool:
+    """True when a positional must be traced (jit pytree arg) rather than
+    treated as a jit-static cache key: arrays, containers holding arrays,
+    and unhashable array-free containers (lists)."""
+    if hasattr(a, "shape") or isinstance(a, np.ndarray):
+        return True
+    if any(hasattr(leaf, "shape") or isinstance(leaf, np.ndarray)
+           for leaf in jax.tree_util.tree_leaves(a)):
+        return True
+    try:
+        hash(a)
+    except TypeError:
+        return True
+    return False
+
+
 def _plain_dict(tree):
     """FrozenDict -> plain nested dict (msgpack-serializable)."""
     if hasattr(tree, "items"):
@@ -128,9 +144,11 @@ class Model:
             return self.apply(self.variables, x, *extra, train=True)
         # Non-array positionals (e.g. ProPainter's local-frame count
         # ``lt``, used in static slicing) must stay out of the trace.
+        # Containers holding arrays (list/tuple pytrees) and unhashable
+        # values are dynamic — jit traces pytree args natively; only
+        # hashable array-free values can be cache keys.
         args = (x,) + extra
-        is_arr = tuple(hasattr(a, "shape") or isinstance(a, (np.ndarray,))
-                       for a in args)
+        is_arr = tuple(_is_dynamic_arg(a) for a in args)
         statics = tuple(a for a, arr in zip(args, is_arr) if not arr)
         dynamic = tuple(a for a, arr in zip(args, is_arr) if arr)
         fn = self._jit_infer(is_arr, statics)

@@ -205,13 +205,22 @@ class ParametricConcurrent(Composed):
 class DualPathParallelConcurent(Composed):
     """Per-index dual-path container: the i-th child consumes and produces
     the (x_i, y_i) pair (reference arch.py:387; torch jasper uses it to
-    thread (features, lengths) through parallel branches)."""
+    thread (features, lengths) through parallel branches).
+
+    ``merge_type`` mirrors the reference ('list' | 'cat' | 'stack' |
+    'sum') applied to both paths along ``axis``. NOTE: the torch default
+    ``axis=1`` is the NCHW channel dim; here pass the NHWC-appropriate
+    axis (usually -1) explicitly."""
 
     layers: Sequence[Any] = ()
+    axis: int = -1
+    merge_type: str = "list"
 
     @nn.compact
     def __call__(self, xs, ys, train: bool = False):
         from .base import accepts_train
+        assert self.merge_type in ("list", "cat", "stack", "sum"), \
+            self.merge_type
         cache: dict = {}
         out_x, out_y = [], []
         for layer, x, y in zip(self.layers, xs, ys):
@@ -222,6 +231,15 @@ class DualPathParallelConcurent(Composed):
                 x, y = m(x, y)
             out_x.append(x)
             out_y.append(y)
+        if self.merge_type == "cat":
+            return (jnp.concatenate(out_x, axis=self.axis),
+                    jnp.concatenate(out_y, axis=self.axis))
+        if self.merge_type == "stack":
+            return (jnp.stack(out_x, axis=self.axis),
+                    jnp.stack(out_y, axis=self.axis))
+        if self.merge_type == "sum":
+            return (jnp.stack(out_x, axis=self.axis).sum(self.axis),
+                    jnp.stack(out_y, axis=self.axis).sum(self.axis))
         return out_x, out_y
 
 

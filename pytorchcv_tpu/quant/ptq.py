@@ -138,7 +138,14 @@ def int8_apply_fn(model, scales: Dict[str, float]) -> Callable:
 def quantize_model(model, calib_batches: Optional[Sequence] = None,
                    rng: int = 0, n_calib: int = 2, batch: int = 8):
     """One-call PTQ: calibrate (random batches if none given) and return
-    ``(apply_fn, scales)``; ``apply_fn(variables, x)`` is jittable."""
+    ``(apply_fn, scales)``; ``apply_fn(variables, x)`` is jittable.
+
+    WARNING: the default calibration draws uniform [0, 1) inputs, which
+    mis-scales every layer for deployments whose inputs are normalized
+    (ImageNet preprocessing spans roughly [-2.1, 2.6] — amax off by ~2.6x).
+    Pass ``calib_batches`` drawn from the *deployment input domain* (e.g.
+    batches pushed through the serving preprocess closure, as
+    ``serve._calibrate`` does) for deployment-grade scales."""
     if calib_batches is None:
         key = jax.random.PRNGKey(rng)
         calib_batches = []

@@ -130,14 +130,23 @@ def _quantize_tree(params, stats):
 
 def _se_gate(t, se):
     """Squeeze-excitation gate (reference att.py:38) on the bf16 pre-add
-    tensor; all math on the pooled (B,1,1,C) vector — negligible cost."""
+    tensor; all math on the pooled (B,1,1,C) vector — negligible cost.
+
+    Handles both SE parameterizations in the zoo (nn/att.py SEBlock):
+    1x1 convs (``conv1``/``conv2``, kernel (1,1,C,M)) and dense
+    (``use_conv=False`` -> ``fc1``/``fc2``, kernel (C,M)) — e.g.
+    fastseresnet101b stores the dense form."""
+    def _mat(layer):
+        k = layer["kernel"]
+        if k.ndim == 4:
+            k = k[0, 0]
+        return k.astype(jnp.float32), layer["bias"].astype(jnp.float32)
+
     p = jnp.mean(t.astype(jnp.float32), axis=(1, 2), keepdims=True)
-    k1 = se["conv1"]["kernel"][0, 0].astype(jnp.float32)
-    h = jnp.maximum(jnp.einsum("bijc,cm->bijm", p, k1) +
-                    se["conv1"]["bias"].astype(jnp.float32), 0.0)
-    k2 = se["conv2"]["kernel"][0, 0].astype(jnp.float32)
-    g = jax.nn.sigmoid(jnp.einsum("bijm,mc->bijc", h, k2) +
-                       se["conv2"]["bias"].astype(jnp.float32))
+    k1, b1 = _mat(se["conv1"] if "conv1" in se else se["fc1"])
+    h = jnp.maximum(jnp.einsum("bijc,cm->bijm", p, k1) + b1, 0.0)
+    k2, b2 = _mat(se["conv2"] if "conv2" in se else se["fc2"])
+    g = jax.nn.sigmoid(jnp.einsum("bijm,mc->bijc", h, k2) + b2)
     return (t.astype(jnp.float32) * g).astype(t.dtype)
 
 

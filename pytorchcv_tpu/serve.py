@@ -58,6 +58,9 @@ def _is_plain_resnet(variables) -> bool:
                 extra = set(up) - {"body", "identity_conv", "se"}
                 if extra:
                     return False
+                if "se" in up and set(up["se"]) not in (
+                        {"conv1", "conv2"}, {"fc1", "fc2"}):
+                    return False      # unknown SE layout -> bf16 fallback
         out = variables["params"].get("output", {})
         return "kernel" in out or "kernel" in out.get("fc", {})
     except (KeyError, TypeError, AttributeError):

@@ -42,7 +42,9 @@ class TestPreprocess:
         crop, scale = 56, 0.875
         resize_value = int(round(crop / scale))  # 64, short side = H
         pil = PIL.fromarray(img)
-        rw = int(round(120 * resize_value / 100))
+        # torchvision truncates the long side (not round):
+        # _compute_resized_output_size -> int(size * long / short).
+        rw = int(120 * resize_value / 100)
         pil = pil.resize((rw, resize_value), PIL.BILINEAR)
         arr = np.asarray(pil).astype(np.float32)
         top = (resize_value - crop) // 2
@@ -58,6 +60,15 @@ class TestPreprocess:
         # PIL quantizes filter weights to 8.8 fixed point and clips uint8;
         # tolerance covers that quantization.
         np.testing.assert_allclose(np.asarray(got), expect, atol=0.04)
+
+    def test_resize_long_side_truncates(self):
+        """torchvision truncates the resized long side; round() drifts the
+        resize width on e.g. 353x500 (500*256/353 = 362.6 -> 362 not 363)."""
+        from pytorchcv_tpu.kernels.preprocess import _pil_bilinear_matrix
+        r, c = resize_matrices((353, 500), 224, 0.875)
+        assert r.shape == (224, 353) and c.shape == (224, 500)
+        expect = _pil_bilinear_matrix(500, 362)[(362 - 224) // 2:][:224]
+        np.testing.assert_allclose(c, expect, atol=1e-7)
 
     def test_segmentation_preprocess(self):
         from pytorchcv_tpu.kernels.preprocess import segmentation_preprocess

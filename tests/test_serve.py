@@ -71,3 +71,32 @@ def test_plain_resnet_detector():
         ptc.get_model("resnet10", in_size=(64, 64)).variables)
     assert not _is_plain_resnet(
         ptc.get_model("mobilenet_wd4", in_size=(64, 64)).variables)
+
+
+def test_dense_se_int8_pipeline():
+    """SE in the dense (fc1/fc2) parameterization — fastseresnet-style —
+    must take the int8 path and match the bf16 reference closely (ADVICE
+    r1: _se_gate previously crashed with KeyError 'conv1')."""
+    from pytorchcv_tpu.model import Model
+    from pytorchcv_tpu.models.fastseresnet import FastSEResNet
+    from pytorchcv_tpu.quant import calibrate_int8
+    from pytorchcv_tpu.quant.resnet_int8 import prepare_int8_resnet
+
+    module = FastSEResNet(channels=[[32, 32], [64, 64]],
+                          init_block_channels=16, bottleneck=True,
+                          conv1_stride=False, in_size=(64, 64),
+                          num_classes=10)
+    model = Model("tiny_fastse", module).init()
+    assert _is_plain_resnet(model.variables)
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 64, 3) * 4 - 2,
+                    jnp.float32)
+    scales = calibrate_int8(model, [x])
+    fn, qtree = prepare_int8_resnet(model, scales)
+    got = np.asarray(fn(qtree, x), np.float32)
+    ref = np.asarray(model.module.apply(model.variables, x, train=False),
+                     np.float32)
+    assert np.all(np.isfinite(got))
+    cos = float((got * ref).sum() /
+                (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9))
+    assert cos > 0.98, cos
