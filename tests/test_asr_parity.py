@@ -1,7 +1,8 @@
 """ASR (Jasper/QuartzNet) parity: the masked-conv trunk is compared against
-the torch reference on the ``from_audio=False`` path (the reference's
-librosa-based mel front-end cannot be constructed in this env; our own
-mel front-end is smoke-tested for shape/finiteness instead)."""
+the torch reference on the ``from_audio=False`` path. The mel front-end is
+numerically verified separately in test_asr_frontend.py (torch-ops oracle
+of the reference chain + independent Slaney filterbank derivation —
+librosa itself is absent in this env)."""
 
 import numpy as np
 import pytest
