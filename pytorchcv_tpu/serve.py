@@ -93,10 +93,10 @@ def _is_plain_preresnet(variables) -> bool:
 
 
 def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
-                    mode: str = "auto",
+                    mode: str = "auto", task: str = "classification",
                     calib_batches: Optional[Sequence] = None,
                     mesh=None, pretrained: bool = False) -> Callable:
-    """Build a jitted ``uint8 (B, H, W, 3) -> logits`` closure.
+    """Build a jitted ``uint8 (B, H, W, 3) -> outputs`` closure.
 
     ``mode``:
       'auto' — the measured-best path per family: the int8-storage
@@ -105,6 +105,13 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
       mobilenets — tools/bench_kernels.py, README Benchmarks);
       'int8' — force int8 (storage pipeline or generic interception);
       'bf16' — force bf16.
+    ``task`` selects the reference eval protocol (README.md:157-167):
+      'classification' — resize-short-side(crop/scale) + center-crop;
+      'segmentation' / 'pose' / 'detection' — direct PIL-bilinear resize
+      to the model's fixed input size (VOC 480x480, Cityscapes crops,
+      COCO pose 256x192, CenterNet 512x512) + ImageNet normalize. The
+      model's native outputs pass through (seg maps, decoded keypoints,
+      detections).
     ``calib_batches``: real *preprocessed* batches for PTQ calibration.
     By default, random uint8 images are pushed through the same
     preprocess closure so calibration sees the deployment input domain
@@ -113,11 +120,17 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     ``mesh``: optional Mesh; batch is sharded over its 'data' axis.
     """
     model = get_model(model_name, pretrained=pretrained)
-    from .kernels.preprocess import classification_preprocess
-    try:
-        pre = classification_preprocess(model_name, source_hw)
-    except (ValueError, KeyError):          # no metainfo row: use ctor size
-        pre = classification_preprocess(model.in_size[0], source_hw)
+    from .kernels.preprocess import (classification_preprocess,
+                                     segmentation_preprocess)
+    if task == "classification":
+        try:
+            pre = classification_preprocess(model_name, source_hw)
+        except (ValueError, KeyError):      # no metainfo row: use ctor size
+            pre = classification_preprocess(model.in_size[0], source_hw)
+    elif task in ("segmentation", "pose", "detection"):
+        pre = segmentation_preprocess(tuple(model.in_size), source_hw)
+    else:
+        raise ValueError(f"unknown serving task '{task}'")
 
     use_int8 = mode in ("auto", "int8")
     infer = None
@@ -149,7 +162,11 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         return jax.jit(pipeline)
     from jax.sharding import NamedSharding, PartitionSpec as P
     spec = NamedSharding(mesh, P("data"))
-    return jax.jit(pipeline, in_shardings=(spec,), out_shardings=spec)
+    if task == "classification":
+        return jax.jit(pipeline, in_shardings=(spec,), out_shardings=spec)
+    # Non-classification outputs may be pytrees (aux heads, decode
+    # tuples); shard the input batch and let XLA propagate.
+    return jax.jit(pipeline, in_shardings=(spec,))
 
 
 def _calibrate(model, calib_batches, pre, source_hw):

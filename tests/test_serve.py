@@ -73,6 +73,40 @@ def test_plain_resnet_detector():
         ptc.get_model("mobilenet_wd4", in_size=(64, 64)).variables)
 
 
+def test_segmentation_serving_end_to_end():
+    """uint8 frames -> per-pixel class maps under the seg protocol
+    (direct resize to the head's fixed size, reference README.md:157)."""
+    serve = make_serving_fn("fastscnn_cityscapes", source_hw=(100, 180),
+                            task="segmentation", mode="bf16")
+    raw = np.random.RandomState(0).randint(0, 256, (2, 100, 180, 3),
+                                           np.uint8)
+    out = serve(jnp.asarray(raw))
+    main = out[0] if isinstance(out, (tuple, list)) else out
+    assert main.shape[0] == 2 and main.shape[-1] == 19
+    assert bool(jnp.all(jnp.isfinite(main.astype(jnp.float32))))
+
+
+def test_pose_serving_end_to_end():
+    """COCO pose protocol: 256x192 person crops -> decoded keypoints."""
+    serve = make_serving_fn("simplepose_mobile_mobilenetv3_small_w1_coco",
+                            source_hw=(300, 200), task="pose", mode="bf16")
+    raw = np.random.RandomState(1).randint(0, 256, (2, 300, 200, 3),
+                                           np.uint8)
+    out = serve(jnp.asarray(raw))
+    leaves = jax.tree_util.tree_leaves(out)
+    assert leaves and all(l.shape[0] == 2 for l in leaves)
+
+
+def test_detection_serving_end_to_end():
+    """CenterNet protocol: direct resize to 512x512 -> (B, topk, 6)."""
+    serve = make_serving_fn("centernet_resnet18_voc", source_hw=(280, 400),
+                            task="detection", mode="bf16")
+    raw = np.random.RandomState(2).randint(0, 256, (1, 280, 400, 3),
+                                           np.uint8)
+    out = serve(jnp.asarray(raw))
+    assert out.shape[0] == 1 and out.shape[-1] == 6
+
+
 def test_dense_se_int8_pipeline():
     """SE in the dense (fc1/fc2) parameterization — fastseresnet-style —
     must take the int8 path and match the bf16 reference closely (ADVICE

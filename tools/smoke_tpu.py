@@ -82,6 +82,22 @@ def main():
     failures += not run("danet_flash", lambda: m(
         jnp.asarray(rs.rand(1, 480, 480, 3), jnp.bfloat16)))
 
+    # Task-protocol serving entry points (uint8 -> outputs, fused
+    # preprocess per the reference eval protocols, serve.make_serving_fn)
+    from pytorchcv_tpu.serve import make_serving_fn
+    sv = make_serving_fn("fastscnn_cityscapes", source_hw=(512, 1024),
+                         task="segmentation", mode="bf16")
+    failures += not run("serve_seg_fastscnn", lambda: sv(
+        jnp.asarray(rs.randint(0, 256, (1, 512, 1024, 3)), jnp.uint8)))
+    sv = make_serving_fn("simplepose_resnet18_coco", source_hw=(320, 240),
+                         task="pose", mode="bf16")
+    failures += not run("serve_pose_simplepose", lambda: sv(
+        jnp.asarray(rs.randint(0, 256, (4, 320, 240, 3)), jnp.uint8)))
+    sv = make_serving_fn("centernet_resnet18_voc", source_hw=(375, 500),
+                         task="detection", mode="bf16")
+    failures += not run("serve_det_centernet", lambda: sv(
+        jnp.asarray(rs.randint(0, 256, (2, 375, 500, 3)), jnp.uint8)))
+
     print(f"\n{'PASS' if failures == 0 else 'FAIL'}: "
           f"{failures} failures")
     sys.exit(1 if failures else 0)
