@@ -128,6 +128,56 @@ def _quantize_tree(params, stats):
     return out
 
 
+def _merge_grouped_weights(qfeat, group_block: int):
+    """Densify grouped 3x3 kernels whose per-group width is below
+    ``group_block``: the grouped conv becomes ONE dense conv with a
+    block-diagonal (zero off-block) kernel — bit-exact, int32 sums
+    identical.
+
+    Measured (tools/exp_grouped.py + exp_gb_sweep.py, v5e, batch 384):
+    XLA's int8 grouped-conv path is layout-hostile in context — resnext50
+    e2e runs 57.9 ms with native grouped convs, 33.6 ms fully densified
+    (6.6k -> 11.4k img/s) despite the groups-x padded MACs; per-stage
+    truncation shows every stage improving except the last (cg=32:
+    native 3.1 ms vs dense 4.5 ms), hence the width cutoff. Merged cells
+    carry a ``gmerge`` marker so stride placement still follows the
+    grouped (stride-at-conv2) rule.
+    """
+    for sk, stage in qfeat.items():
+        if not sk.startswith("stage"):
+            continue
+        for uk, unit in stage.items():
+            body = unit.get("body")
+            if not body or "conv2" not in body or "conv1" not in body:
+                continue
+            w2 = body["conv2"]["wq"]
+            cin = body["conv1"]["wq"].shape[3]
+            cg = w2.shape[2]
+            if cg >= cin or w2.shape[0] == 1:
+                continue                       # not grouped
+            groups = cin // cg
+            merge = groups if cg < group_block else 1
+            if merge <= 1:
+                continue
+            kh, kw, _, cout = w2.shape
+            og = cout // groups
+            wm = jnp.zeros((kh, kw, merge * cg, cout), w2.dtype)
+            for g in range(groups):
+                blk = g % merge
+                wm = wm.at[:, :, blk * cg:(blk + 1) * cg,
+                           g * og:(g + 1) * og].set(
+                    w2[:, :, :, g * og:(g + 1) * og])
+            cell = dict(body["conv2"])
+            cell["wq"] = wm
+            cell["gmerge"] = merge
+            new_body = dict(body)
+            new_body["conv2"] = cell
+            new_unit = dict(unit)
+            new_unit["body"] = new_body
+            stage[uk] = new_unit
+    return qfeat
+
+
 def _se_gate(t, se):
     """Squeeze-excitation gate (reference att.py:38) on the bf16 pre-add
     tensor; all math on the pooled (B,1,1,C) vector — negligible cost.
@@ -214,7 +264,8 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False):
             s_next = sc(nxt) if nxt else None
             has_se = "se" in uq
             if bottleneck:
-                grouped = (body["conv2"]["wq"].shape[2] !=
+                grouped = ("gmerge" in body["conv2"] or
+                           body["conv2"]["wq"].shape[2] !=
                            body["conv1"]["wq"].shape[3])
                 # ResNeXt always strides at the grouped 3x3.
                 c1s = False if grouped else conv1_stride
@@ -278,19 +329,27 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False):
 
 def prepare_int8_resnet(model, scales: Dict[str, float],
                         conv1_stride: Optional[bool] = None,
-                        q_residual: bool = False
+                        q_residual: bool = False,
+                        group_block: Optional[int] = 32
                         ) -> Tuple[Callable, Dict]:
     """Serving entry point: quantize weights ONCE, return
     ``(infer_fn, qparams)`` with ``infer_fn(qparams, x) -> logits``.
 
     The steady-state compiled program reads only int8 kernels plus
     per-channel f32 gain/bias — f32 weights never enter the hot loop.
+    ``group_block``: grouped 3x3 kernels (ResNeXt/SENet) with fewer than
+    this many channels per group are densified into one block-diagonal
+    dense conv (see ``_merge_grouped_weights``); None disables.
     """
     c1s = _resolve_conv1_stride(model, conv1_stride)
     params = model.variables["params"]
     stats = model.variables["batch_stats"]
     qparams = jax.jit(_quantize_tree)(params["features"],
                                       stats["features"])
+    qparams = {k: dict(v) if isinstance(v, dict) else v
+               for k, v in qparams.items()}
+    if group_block:
+        qparams = _merge_grouped_weights(qparams, group_block)
     # Exact bf16 folded stem kernel (kernel * bn-gain) for the first
     # conv; bias already lives in the quantized cell consts.
     first = "conv" if "conv" in params["features"]["init_block"] \

@@ -210,9 +210,20 @@ class BufferedSequencer(Sequencer):
 class WindowBufferedSequencer(BufferedSequencer):
     """Buffered sequencer whose target ranges are produced window-by-window
     from (multi-)source windows; ``_calc_data_items`` is the per-window
-    model call."""
+    model call.
 
-    def __init__(self, window_index, **kwargs):
+    Temporal multi-chip (SURVEY §2.5): pass ``mesh`` (a
+    ``jax.sharding.Mesh`` with a 'data' axis) to evaluate same-shaped
+    pending windows as one window-batch sharded across chips. Each
+    window's source slice already carries its ±pad overlap (the
+    reference's per-stage pad constants, propainter_stream.py:438-459),
+    so the halo is realized by overlapping gathers from the source
+    buffer — no inter-chip exchange — and results are bitwise identical
+    to the serial path. Windows whose source shapes differ (stream
+    edges) fall back to per-window evaluation."""
+
+    def __init__(self, window_index, mesh=None, window_batch=None,
+                 **kwargs):
         super().__init__(**kwargs)
         assert len(window_index) > 0
         if isinstance(window_index[0], WindowMap):
@@ -222,6 +233,10 @@ class WindowBufferedSequencer(BufferedSequencer):
         self.length = window_index[-1].target.stop
         self.window_length = len(window_index)
         self.window_pos = -1
+        self.mesh = mesh
+        if window_batch is None:
+            window_batch = int(mesh.shape["data"]) if mesh is not None else 1
+        self.window_batch = max(int(window_batch), 1)
 
     def __len__(self):
         return self.length
@@ -233,23 +248,76 @@ class WindowBufferedSequencer(BufferedSequencer):
                 return win_pos
         return self.window_length - 1
 
+    def _calc_data_items_batched(self, stacked_chunk_list):
+        """Evaluate a (K, ...) window-batch; default: vmap the per-window
+        model call (subclasses may override with a natively batched
+        program)."""
+        import jax
+
+        def one(*chunks):
+            return self._calc_data_items(list(chunks))
+        return jax.vmap(one)(*stacked_chunk_list)
+
+    def _append_window_result(self, wmm, data_chunk):
+        span = wmm.target.stop - wmm.target.start
+        data_chunk = data_chunk[wmm.target_start:wmm.target_start + span]
+        if self.buffer is None:
+            self.buffer = data_chunk
+        else:
+            self._expand_buffer_by(data_chunk)
+        self.end_pos = wmm.target.stop
+
     def _expand_buffer_to(self, end: int):
         assert end > self.end_pos
         win_end = self._calc_window_pose(end)
-        for win_pos in range(max(self.window_pos + 1, 0), win_end + 1):
-            wmm = self.window_index[win_pos]
-            chunks = [raw[src.start:src.stop]
-                      for raw, src in zip(self.raw_data_list, wmm.sources)]
-            data_chunk = self._calc_data_items(chunks)
-            span = wmm.target.stop - wmm.target.start
-            data_chunk = data_chunk[wmm.target_start:
-                                    wmm.target_start + span]
-            if self.buffer is None:
-                self.buffer = data_chunk
+        pending = list(range(max(self.window_pos + 1, 0), win_end + 1))
+        while pending:
+            wmm = self.window_index[pending[0]]
+            shapes = tuple(src.stop - src.start for src in wmm.sources)
+            group = [pending[0]]
+            if self.window_batch > 1:
+                for wp in pending[1:]:
+                    nxt = self.window_index[wp]
+                    if tuple(s.stop - s.start
+                             for s in nxt.sources) != shapes or \
+                            len(group) >= self.window_batch:
+                        break
+                    group.append(wp)
+            if len(group) == 1:
+                chunks = [raw[src.start:src.stop]
+                          for raw, src in zip(self.raw_data_list,
+                                              wmm.sources)]
+                self._append_window_result(wmm, self._calc_data_items(chunks))
+                self.window_pos = group[0]
             else:
-                self._expand_buffer_by(data_chunk)
-            self.end_pos = wmm.target.stop
-            self.window_pos = win_pos
+                self._run_window_group(group)
+            pending = pending[len(group):]
+
+    def _run_window_group(self, group):
+        """Evaluate a group of same-shaped windows as one sharded batch."""
+        stacked = []
+        for i, raw in enumerate(self.raw_data_list):
+            parts = [raw[self.window_index[wp].sources[i].start:
+                         self.window_index[wp].sources[i].stop]
+                     for wp in group]
+            stacked.append(jnp.stack([jnp.asarray(p) for p in parts],
+                                     axis=0))
+        k = len(group)
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+            n = int(self.mesh.shape["data"])
+            pad = (-k) % n
+            if pad:
+                stacked = [jnp.concatenate(
+                    [s, jnp.repeat(s[-1:], pad, axis=0)], axis=0)
+                    for s in stacked]
+            sharding = NamedSharding(self.mesh, PartitionSpec("data"))
+            stacked = [jax.device_put(s, sharding) for s in stacked]
+        out = self._calc_data_items_batched(stacked)
+        for j, wp in enumerate(group):
+            self._append_window_result(self.window_index[wp], out[j])
+            self.window_pos = wp
 
     def clear_buffer(self):
         super().clear_buffer()

@@ -75,6 +75,64 @@ def test_window_buffered_sequencer_windows():
     assert len(calls) >= 3  # lazily evaluated per window
 
 
+def test_window_batch_sharded_bitwise_equal():
+    """Temporal multi-chip: same-shaped windows evaluated as one batch
+    sharded over the mesh 'data' axis must be BITWISE identical to the
+    serial path (the halo is carried by the overlapping source slices)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from pytorchcv_tpu.streaming import (WindowBufferedSequencer,
+                                         calc_serial_window_sequencer_index)
+
+    batched_calls = []
+
+    class Blur(WindowBufferedSequencer):
+        def _calc_data_items(self, chunks):
+            x = chunks[0]
+            return x * 1.7 + jnp.cumsum(x, axis=0)
+
+        def _calc_data_items_batched(self, stacked):
+            batched_calls.append(stacked[0].shape)
+            return super()._calc_data_items_batched(stacked)
+
+    data = jnp.arange(53.0).reshape(53, 1) * 0.37
+    idx = calc_serial_window_sequencer_index(53, 53, window_size=5,
+                                             padding=(1, 1),
+                                             edge_mode="trim")
+    serial = Blur(window_index=idx, data=data)
+    want = np.asarray(serial[0:53])
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    sharded = Blur(window_index=idx, data=data, mesh=mesh)
+    got = np.asarray(sharded[0:53])
+    assert batched_calls, "sharded path never took the window-batch route"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_raft_sequencer_sharded_matches_serial():
+    """RAFT streaming flow: window-batch over the mesh == serial, bitwise."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.models.raft_stream import RAFTSequencer
+
+    frames = jnp.asarray(
+        np.random.RandomState(0).rand(9, 64, 64, 3).astype(np.float32))
+    model = ptc.get_model("raft_small", in_size=(64, 64), iters=2,
+                          in_normalize=False)
+    serial = RAFTSequencer(frames, raft_model=model, window_size=3)
+    want = np.asarray(serial[0:8])
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
+    sharded = RAFTSequencer(frames, raft_model=model, window_size=3,
+                            mesh=mesh)
+    got = np.asarray(sharded[0:8])
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(got, want)
+
+
 def test_propainter_iterator_smoke():
     """Five-stage iterator with a fake flow model and random-init nets."""
     import jax.numpy as jnp

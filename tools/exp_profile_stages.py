@@ -1,10 +1,10 @@
-"""Locate int8-resnet50 step time by cumulative truncation.
+"""Locate int8-resnet step time by cumulative truncation.
 
 Times the real pipeline (quant.resnet_int8 internals, same consts)
 truncated after the stem and after each stage; differences = per-stage
 cost. More robust than trace parsing through the axon tunnel.
 
-Usage: python tools/exp_profile_stages.py
+Usage: python tools/exp_profile_stages.py [model_name] [batch]
 """
 
 import functools
@@ -76,7 +76,10 @@ def truncated_forward(scales, conv1_stride, upto):
                     nxt = (f"features/{all_names[si+1]}/unit1"
                            "/body/conv1/conv")
                 s_next = sc(nxt) if nxt else None
-                s1, s2 = (stride, 1) if conv1_stride else (1, stride)
+                grouped = (body["conv2"]["wq"].shape[2] !=
+                           body["conv1"]["wq"].shape[3])
+                c1s = False if grouped else conv1_stride
+                s1, s2 = (stride, 1) if c1s else (1, stride)
                 t = R._cell(xq, s_in, body["conv1"], s1, True,
                             sc(f"{prefix}/conv2/conv"))
                 t = R._cell(t, sc(f"{prefix}/conv2/conv"), body["conv2"],
@@ -100,6 +103,10 @@ def truncated_forward(scales, conv1_stride, upto):
 
 
 def main():
+    global BATCH
+    name = sys.argv[1] if len(sys.argv) > 1 else "resnet50"
+    if len(sys.argv) > 2:
+        BATCH = int(sys.argv[2])
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..",
                                    ".jax_cache"))
@@ -108,11 +115,13 @@ def main():
     from pytorchcv_tpu.quant.resnet_int8 import (prepare_int8_resnet,
                                                  _resolve_conv1_stride)
 
-    model = ptc.get_model("resnet50")
+    model = ptc.get_model(name)
     scales = calibrate_int8(
         model, [jax.random.uniform(jax.random.PRNGKey(0),
                                    (8, 224, 224, 3))])
-    fn_full, qtree = prepare_int8_resnet(model, scales)
+    gb = os.environ.get("GB")
+    gb = int(gb) if gb else 32
+    fn_full, qtree = prepare_int8_resnet(model, scales, group_block=gb)
     c1s = _resolve_conv1_stride(model, None)
     x = jnp.asarray(np.random.RandomState(0).rand(BATCH, 224, 224, 3),
                     jnp.bfloat16)
