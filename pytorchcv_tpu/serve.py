@@ -92,6 +92,16 @@ def _is_plain_preresnet(variables) -> bool:
         return False
 
 
+def _is_mobilenet_v2(variables) -> bool:
+    from .quant.mobilenet_int8 import is_mobilenet_v2_tree
+    return is_mobilenet_v2_tree(variables)
+
+
+def _is_efficientnet(model) -> bool:
+    from .quant.efficientnet_int8 import is_efficientnet_module
+    return is_efficientnet_module(model)
+
+
 def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                     mode: str = "auto", task: str = "classification",
                     calib_batches: Optional[Sequence] = None,
@@ -99,10 +109,12 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     """Build a jitted ``uint8 (B, H, W, 3) -> outputs`` closure.
 
     ``mode``:
-      'auto' — the measured-best path per family: the int8-storage
-      pipeline for plain-ResNet trees, bf16 otherwise (the generic int8
-      quantizer measured *slower* than bf16 for HBM-bound families like
-      mobilenets — tools/bench_kernels.py, README Benchmarks);
+      'auto' — the measured-best path per family: int8-storage pipelines
+      for plain-ResNet / PreResNet / MobileNetV2 / EfficientNet trees
+      (activations stored int8 between layers; mobilenetv2_w1 measured
+      42.0k img/s int8 vs 37.1k bf16 on v5e batch 512), bf16 otherwise
+      (the *generic* interception quantizer keeps bf16 activations and
+      measured slower than bf16 for HBM-bound families);
       'int8' — force int8 (storage pipeline or generic interception);
       'bf16' — force bf16.
     ``task`` selects the reference eval protocol (README.md:157-167):
@@ -143,6 +155,16 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         from .quant.preresnet_int8 import prepare_int8_preresnet
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_preresnet(model, scales)
+        infer = lambda x: fn(qtree, x)
+    elif use_int8 and _is_mobilenet_v2(model.variables):
+        from .quant.mobilenet_int8 import prepare_int8_mobilenet
+        scales = _calibrate(model, calib_batches, pre, source_hw)
+        fn, qtree = prepare_int8_mobilenet(model, scales)
+        infer = lambda x: fn(qtree, x)
+    elif use_int8 and _is_efficientnet(model):
+        from .quant.efficientnet_int8 import prepare_int8_efficientnet
+        scales = _calibrate(model, calib_batches, pre, source_hw)
+        fn, qtree = prepare_int8_efficientnet(model, scales)
         infer = lambda x: fn(qtree, x)
     elif mode == "int8":
         from .quant import int8_apply_fn

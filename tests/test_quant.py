@@ -96,6 +96,24 @@ class TestResnetInt8Pipeline:
         assert not is_mobilenet_v2_tree(
             ptc.get_model("resnet10", in_size=(64, 64)).variables)
 
+    def test_efficientnet_int8_storage_parity(self):
+        """MBConv int8-storage pipeline (swish + SE) vs the bf16 model."""
+        from pytorchcv_tpu.quant.efficientnet_int8 import (
+            is_efficientnet_module, prepare_int8_efficientnet)
+        model = ptc.get_model("efficientnet_b0", in_size=(64, 64))
+        assert is_efficientnet_module(model)
+        calib = [jax.random.uniform(jax.random.PRNGKey(i), (4, 64, 64, 3))
+                 for i in range(2)]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_efficientnet(model, scales)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+        y8 = jax.jit(fn)(qtree, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.98, cos
+        assert not is_efficientnet_module(
+            ptc.get_model("efficientnet_b0b", in_size=(64, 64)))  # tf_mode
+
     def test_group_merge_exactness(self):
         """Block-diagonal group merge (ResNeXt/SENet MXU fix) must be
         numerically identical to the unmerged grouped conv — the off-block

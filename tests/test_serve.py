@@ -107,6 +107,16 @@ def test_detection_serving_end_to_end():
     assert out.shape[0] == 1 and out.shape[-1] == 6
 
 
+def test_mobilenet_auto_int8_serving():
+    """auto mode routes MobileNetV2 trees to the int8-storage pipeline."""
+    serve = make_serving_fn("mobilenetv2_wd2", source_hw=(74, 74))
+    raw = np.random.RandomState(7).randint(0, 256, (2, 74, 74, 3),
+                                           np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
 def test_dense_se_int8_pipeline():
     """SE in the dense (fc1/fc2) parameterization — fastseresnet-style —
     must take the int8 path and match the bf16 reference closely (ADVICE

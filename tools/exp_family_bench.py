@@ -73,17 +73,22 @@ def bench_dw_family(name, batch=512):
     print(f"{name:20s} bf16 batch{batch}: {dt*1e3:7.3f} ms  "
           f"{batch/dt:8.0f} img/s", flush=True)
 
+    from pytorchcv_tpu.quant.efficientnet_int8 import (
+        is_efficientnet_module, prepare_int8_efficientnet)
     if is_mobilenet_v2_tree(model.variables):
-        scales = calibrate_int8(
-            model, [jax.random.uniform(jax.random.PRNGKey(0),
-                                       (8, 224, 224, 3))])
-        fn, qtree = prepare_int8_mobilenet(model, scales)
-        dt = time_fn(fn, qtree, x)
-        print(f"{name:20s} int8-storage batch{batch}: {dt*1e3:7.3f} ms  "
-              f"{batch/dt:8.0f} img/s", flush=True)
+        prep = prepare_int8_mobilenet
+    elif is_efficientnet_module(model):
+        prep = prepare_int8_efficientnet
     else:
-        print(f"{name:20s} tree not v2-shaped; int8-storage skipped",
-              flush=True)
+        print(f"{name:20s} no int8-storage pipeline; skipped", flush=True)
+        return
+    scales = calibrate_int8(
+        model, [jax.random.uniform(jax.random.PRNGKey(0),
+                                   (8, 224, 224, 3))])
+    fn, qtree = prep(model, scales)
+    dt = time_fn(fn, qtree, x)
+    print(f"{name:20s} int8-storage batch{batch}: {dt*1e3:7.3f} ms  "
+          f"{batch/dt:8.0f} img/s", flush=True)
 
 
 def main():

@@ -183,6 +183,33 @@ def s2d4_im2col_int8(x, w48q_flat, gain, bias):
     return epilogue(y, gain * (S_IMG / 127.0), bias)
 
 
+def direct_bf16_bf16in(xb, kf, bias_f):
+    """Same as direct_bf16 but the input is already bf16 (pipeline form)."""
+    y = jax.lax.conv_general_dilated(
+        xb, kf, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + bias_f, 0.0)
+    return maxpool_i8(quant(y, S_U1))
+
+
+def nchw_bf16(xp, kf, bias_f):
+    """Planar (NCHW) input — free from the Pallas preprocess kernel whose
+    per-channel resize matmuls produce planes natively. Lanes = W (224),
+    not the degenerate C=3. Pool in NCHW; transpose the small pooled
+    tensor (56x56x64 int8) at the end."""
+    y = jax.lax.conv_general_dilated(
+        xp, kf, (2, 2), [(3, 3), (3, 3)],
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + bias_f[None, :, None, None], 0.0)
+    q = jnp.clip(jnp.round(y * (127.0 / S_U1)), -127, 127).astype(jnp.int8)
+    p = jax.lax.reduce_window(
+        q, jnp.int8(-128), jax.lax.max, (1, 1, 3, 3), (1, 1, 2, 2),
+        [(0, 0), (0, 0), (1, 1), (1, 1)])
+    return p.transpose(0, 2, 3, 1)
+
+
 def s2d2_int8(x, w12q, gain, bias):
     """Round-1 baseline: 2x2 s2d -> 4x4/s1 conv, C_in=12."""
     xq = quant(x, S_IMG)
@@ -221,9 +248,14 @@ def main():
     ws2 = wp8.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 4, 1, 3, 5)
     w12q = jnp.asarray(ws2.reshape(4, 4, 12, 64))
 
+    xb = x.astype(jnp.bfloat16)
+    xp = jnp.asarray(np.transpose(np.asarray(x, np.float32),
+                                  (0, 3, 1, 2)), jnp.bfloat16)
     variants = {
         "direct_int8": (direct_int8, (x, wq_j, gain_j, bias_j)),
         "direct_bf16": (direct_bf16, (x, kf, bias_j)),
+        "direct_bf16_bf16in": (direct_bf16_bf16in, (xb, kf, bias_j)),
+        "nchw_bf16": (nchw_bf16, (xp, kf, bias_j)),
         "s2d2_int8": (s2d2_int8, (x, w12q, gain_j, bias_j)),
         "s2d4_int8": (s2d4_int8, (x, w48q, gain_j, bias_j)),
         "s2d4_bf16": (s2d4_bf16, (x, w48f, bias_j)),
@@ -231,10 +263,9 @@ def main():
                                                 bias_j)),
     }
 
-    xs = x[:8]
-    ref = np.asarray(jax.jit(direct_int8)(xs, wq_j, gain_j, bias_j))
+    ref = np.asarray(jax.jit(direct_int8)(x[:8], wq_j, gain_j, bias_j))
     for name, (fn, args) in variants.items():
-        small = (xs,) + args[1:]
+        small = (args[0][:8],) + args[1:]
         out = np.asarray(jax.jit(fn)(*small))
         if name.endswith("int8"):
             exact = np.array_equal(out, ref)
