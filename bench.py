@@ -30,7 +30,11 @@ import numpy as np
 BASELINE_IMG_S = 25000.0
 MODEL = "resnet50"
 BATCH = 384
-ITERS = 30
+# One run_n call = one dispatch through the axon tunnel (~30 ms RTT) +
+# ITERS chained steps; steady-state serving amortizes dispatch, so use
+# enough iterations that the per-call overhead is <0.5% of the
+# measurement (round-1's ITERS=30 inflated the step ~1 ms, ~5%).
+ITERS = 200
 
 
 def main():

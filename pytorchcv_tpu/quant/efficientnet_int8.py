@@ -86,25 +86,36 @@ def _conv_i8(xq, wq, stride):
         preferred_element_type=jnp.int32)
 
 
-def _cell_f32(xq, s_in, cell, stride=1):
+def _cell_f32(xq, s_in, cell, stride=1, dw_bf16=False):
+    if dw_bf16 and cell["wq"].shape[2] == 1:
+        k = cell["wq"].shape[0]
+        xb = (xq.astype(jnp.float32) * (s_in / 127.0)).astype(jnp.bfloat16)
+        y = jax.lax.conv_general_dilated(
+            xb, cell["wq"].astype(jnp.bfloat16), (stride, stride),
+            [(k // 2, k // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=xq.shape[-1],
+            preferred_element_type=jnp.float32)
+        return y * cell["gain"] + cell["bias"]
     y = _conv_i8(xq, cell["wq"], stride).astype(jnp.float32)
     return y * (cell["gain"] * (s_in / 127.0)) + cell["bias"]
 
 
 def _se_gate_swish(t, se):
-    """SE with swish mid-activation on the f32 tensor (efficientnet SE:
-    reduction pools, conv1 + swish, conv2 + sigmoid, scale)."""
-    p = jnp.mean(t, axis=(1, 2), keepdims=True)
+    """SE with swish mid-activation (efficientnet SE: reduction pools,
+    conv1 + swish, conv2 + sigmoid, scale); pooled math in f32, the
+    big-tensor scale in t's own dtype."""
+    p = jnp.mean(t.astype(jnp.float32), axis=(1, 2), keepdims=True)
     k1 = se["conv1"]["kernel"][0, 0].astype(jnp.float32)
     h = _swish(jnp.einsum("bijc,cm->bijm", p, k1) +
                se["conv1"]["bias"].astype(jnp.float32))
     k2 = se["conv2"]["kernel"][0, 0].astype(jnp.float32)
     g = jax.nn.sigmoid(jnp.einsum("bijm,mc->bijc", h, k2) +
                        se["conv2"]["bias"].astype(jnp.float32))
-    return t * g
+    return t * g.astype(t.dtype)
 
 
-def _forward(qtree, x, scales, plan):
+def _forward(qtree, x, scales, plan, dw_bf16=False):
     f = qtree["features"]
     sc = scales.__getitem__
 
@@ -137,7 +148,11 @@ def _forward(qtree, x, scales, plan):
             t = _quant(_swish(_cell_f32(xq, s_in, uq["conv1"], 1)), s_dw)
             s_t = s_dw
         s_pj = sc(f"{prefix}/{pw_name}/conv")
-        t = _swish(_cell_f32(t, s_t, uq[dw_name], stride))
+        # The expanded dw output is the widest tensor in the block; with
+        # an SE gate it must materialize for the pooled statistics — keep
+        # it bf16 (not f32) so that pass costs half the bytes.
+        t = _swish(_cell_f32(t, s_t, uq[dw_name], stride,
+                             dw_bf16=dw_bf16)).astype(jnp.bfloat16)
         if "se" in uq:
             t = _se_gate_swish(t, uq["se"])
         t = _cell_f32(_quant(t, s_pj), s_pj, uq[pw_name], 1)
@@ -156,9 +171,12 @@ def _forward(qtree, x, scales, plan):
     return logits.astype(jnp.bfloat16)
 
 
-def prepare_int8_efficientnet(model, scales: Dict[str, float]
+def prepare_int8_efficientnet(model, scales: Dict[str, float],
+                              dw_bf16: bool = False
                               ) -> Tuple[Callable, Dict]:
-    """Quantize weights once; returns ``(infer_fn, qtree)``."""
+    """Quantize weights once; returns ``(infer_fn, qtree)``.
+    ``dw_bf16``: run depthwise convs in bf16 with int8 storage (measured
+    slightly slower than int8 dw on v5e; kept as a knob)."""
     params = model.variables["params"]
     stats = model.variables["batch_stats"]
     plan = _unit_plan(model)
@@ -192,6 +210,6 @@ def prepare_int8_efficientnet(model, scales: Dict[str, float]
                         "bias": head["bias"].astype(jnp.float32)}}
 
     def infer_fn(qtree, x):
-        return _forward(qtree, x, scales, plan)
+        return _forward(qtree, x, scales, plan, dw_bf16=dw_bf16)
 
     return infer_fn, qtree

@@ -69,10 +69,25 @@ def _conv_i8(xq, wq, stride):
 
 
 def _cell6(xq, s_in, cell, stride=1, relu6=True,
-           s_out: Optional[float] = None):
-    """int8 conv + folded BN (+ ReLU6) (+ requant to int8)."""
-    y = _conv_i8(xq, cell["wq"], stride).astype(jnp.float32)
-    y = y * (cell["gain"] * (s_in / 127.0)) + cell["bias"]
+           s_out: Optional[float] = None, dw_bf16: bool = False):
+    """int8 conv + folded BN (+ ReLU6) (+ requant to int8).
+
+    ``dw_bf16``: compute a depthwise conv in bf16 (inputs dequantized
+    in-register; the int8 kernel values are exact in bf16) while keeping
+    int8 storage on both sides — the int8->int32 widening conv is VPU
+    work with no MXU win, and bf16 measured faster for it."""
+    if dw_bf16 and cell["wq"].shape[2] == 1:
+        xb = (xq.astype(jnp.float32) * (s_in / 127.0)).astype(jnp.bfloat16)
+        y = jax.lax.conv_general_dilated(
+            xb, cell["wq"].astype(jnp.bfloat16), (stride, stride),
+            [(cell["wq"].shape[0] // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=xq.shape[-1],
+            preferred_element_type=jnp.float32)
+        y = y * cell["gain"] + cell["bias"]
+    else:
+        y = _conv_i8(xq, cell["wq"], stride).astype(jnp.float32)
+        y = y * (cell["gain"] * (s_in / 127.0)) + cell["bias"]
     if relu6:
         y = jnp.clip(y, 0.0, 6.0)
     if s_out is None:
@@ -81,7 +96,7 @@ def _cell6(xq, s_in, cell, stride=1, relu6=True,
                     -127, 127).astype(jnp.int8)
 
 
-def _forward(qtree, x, scales):
+def _forward(qtree, x, scales, dw_bf16=False):
     f = qtree["features"]
     sc = scales.__getitem__
 
@@ -124,7 +139,8 @@ def _forward(qtree, x, scales):
         if "conv1" in uq:
             t = _cell6(t, s_t, uq["conv1"], 1, True, s_dw)
             s_t = s_dw
-        t = _cell6(t, s_t, uq["conv2"], stride, True, s_pj)
+        t = _cell6(t, s_t, uq["conv2"], stride, True, s_pj,
+                   dw_bf16=dw_bf16)
         t = _cell6(t, s_pj, uq["conv3"], 1, relu6=False)    # f32
         if residual:
             t = t + xq.astype(jnp.float32) * (s_in / 127.0)
@@ -140,9 +156,11 @@ def _forward(qtree, x, scales):
     return logits.astype(jnp.bfloat16)
 
 
-def prepare_int8_mobilenet(model, scales: Dict[str, float]
+def prepare_int8_mobilenet(model, scales: Dict[str, float],
+                           dw_bf16: bool = False
                            ) -> Tuple[Callable, Dict]:
-    """Quantize weights once; returns ``(infer_fn, qtree)``."""
+    """Quantize weights once; returns ``(infer_fn, qtree)``.
+    ``dw_bf16``: run depthwise convs in bf16 with int8 storage."""
     params = model.variables["params"]
     stats = model.variables["batch_stats"]
 
@@ -175,6 +193,6 @@ def prepare_int8_mobilenet(model, scales: Dict[str, float]
                            if "bias" in head else {})}}
 
     def infer_fn(qtree, x):
-        return _forward(qtree, x, scales)
+        return _forward(qtree, x, scales, dw_bf16=dw_bf16)
 
     return infer_fn, qtree

@@ -102,6 +102,11 @@ def _is_efficientnet(model) -> bool:
     return is_efficientnet_module(model)
 
 
+def _is_mobilenet_v3(model) -> bool:
+    from .quant.mobilenetv3_int8 import is_mobilenetv3_module
+    return is_mobilenetv3_module(model)
+
+
 def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                     mode: str = "auto", task: str = "classification",
                     calib_batches: Optional[Sequence] = None,
@@ -161,7 +166,16 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_mobilenet(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif use_int8 and _is_efficientnet(model):
+    elif mode == "int8" and _is_mobilenet_v3(model):
+        # measured a wash vs bf16 on v5e (the SE gates force the expanded
+        # tensor to materialize) — auto keeps bf16; int8 on request.
+        from .quant.mobilenetv3_int8 import prepare_int8_mobilenetv3
+        scales = _calibrate(model, calib_batches, pre, source_hw)
+        fn, qtree = prepare_int8_mobilenetv3(model, scales)
+        infer = lambda x: fn(qtree, x)
+    elif mode == "int8" and _is_efficientnet(model):
+        # measured below bf16 on v5e (SE + swish materialization) —
+        # auto keeps bf16; int8 on request.
         from .quant.efficientnet_int8 import prepare_int8_efficientnet
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_efficientnet(model, scales)

@@ -96,6 +96,25 @@ class TestResnetInt8Pipeline:
         assert not is_mobilenet_v2_tree(
             ptc.get_model("resnet10", in_size=(64, 64)).variables)
 
+    def test_mobilenetv3_int8_storage_parity(self):
+        """MobileNetV3 int8-storage (relu/hswish mix, hsigmoid SE)."""
+        from pytorchcv_tpu.quant.mobilenetv3_int8 import (
+            is_mobilenetv3_module, prepare_int8_mobilenetv3)
+        for name in ("mobilenetv3_small_w1", "mobilenetv3_large_w1"):
+            model = ptc.get_model(name, in_size=(64, 64))
+            assert is_mobilenetv3_module(model), name
+            calib = [jax.random.uniform(jax.random.PRNGKey(i),
+                                        (4, 64, 64, 3)) for i in range(2)]
+            scales = calibrate_int8(model, calib)
+            fn, qtree = prepare_int8_mobilenetv3(model, scales)
+            x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+            y8 = jax.jit(fn)(qtree, x)
+            yf = model(x)
+            cos, agree = _agreement(y8, yf)
+            assert cos > 0.98, (name, cos)
+        assert not is_mobilenetv3_module(
+            ptc.get_model("mobilenetv2_wd2", in_size=(64, 64)))
+
     def test_efficientnet_int8_storage_parity(self):
         """MBConv int8-storage pipeline (swish + SE) vs the bf16 model."""
         from pytorchcv_tpu.quant.efficientnet_int8 import (

@@ -85,10 +85,12 @@ def bench_dw_family(name, batch=512):
     scales = calibrate_int8(
         model, [jax.random.uniform(jax.random.PRNGKey(0),
                                    (8, 224, 224, 3))])
-    fn, qtree = prep(model, scales)
-    dt = time_fn(fn, qtree, x)
-    print(f"{name:20s} int8-storage batch{batch}: {dt*1e3:7.3f} ms  "
-          f"{batch/dt:8.0f} img/s", flush=True)
+    for dw_bf16 in (False, True):
+        fn, qtree = prep(model, scales, dw_bf16=dw_bf16)
+        dt = time_fn(fn, qtree, x)
+        print(f"{name:20s} int8-storage(dw_bf16={dw_bf16}) "
+              f"batch{batch}: {dt*1e3:7.3f} ms  {batch/dt:8.0f} img/s",
+              flush=True)
 
 
 def main():
