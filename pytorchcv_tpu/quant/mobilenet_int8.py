@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from .resnet_int8 import _cell_consts, _quant, _EPS
 
-__all__ = ["prepare_int8_mobilenet", "is_mobilenet_v2_tree"]
+__all__ = ["prepare_int8_mobilenet", "is_mobilenet_v2_tree",
+           "prepare_int8_mobilenet_v1", "is_mobilenet_v1_tree"]
 
 
 def is_mobilenet_v2_tree(variables) -> bool:
@@ -154,6 +155,131 @@ def _forward(qtree, x, scales, dw_bf16=False):
     if "bias" in head:
         logits = logits + head["bias"].astype(jnp.float32)
     return logits.astype(jnp.bfloat16)
+
+
+def is_mobilenet_v1_tree(variables) -> bool:
+    """True for the depthwise-separable v1 layout (mobilenet/fdmobilenet:
+    units of {dw_conv, pw_conv}, Dense head)."""
+    try:
+        f = variables["params"]["features"]
+        ib = f["init_block"]
+        if set(ib) != {"conv", "bn"}:
+            return False
+        stages = [k for k in f if k.startswith("stage")]
+        if not stages:
+            return False
+        for st in stages:
+            for up in f[st].values():
+                if set(up) != {"dw_conv", "pw_conv"}:
+                    return False
+                if up["dw_conv"]["conv"]["kernel"].shape[2] != 1:
+                    return False
+                if "bn" not in up["dw_conv"]:
+                    return False          # dws_simplified: no dw BN
+        out = variables["params"]["output"]
+        return "kernel" in out and out["kernel"].ndim == 2
+    except (KeyError, TypeError, AttributeError):
+        return False
+
+
+def _v1_unit_strides(model):
+    """Per-unit strides from the module tree (first_stage_stride differs
+    between mobilenet and fdmobilenet)."""
+    def unwrap(m):
+        return getattr(m, "module", m) if type(m).__name__ == "Held" else m
+    strides = {}
+    for layer in map(unwrap, unwrap(model.module.features).layers):
+        if type(layer).__name__ != "Sequential" or not layer.name or \
+                not layer.name.startswith("stage"):
+            continue
+        for u in map(unwrap, layer.layers):
+            s = u.stride if isinstance(u.stride, int) else u.stride[0]
+            strides[(layer.name, u.name)] = s
+    return strides
+
+
+def _forward_v1(qtree, x, scales, strides):
+    """relu everywhere, no residuals: dw int8 -> relu -> pw int8 -> relu."""
+    f = qtree["features"]
+    sc = scales.__getitem__
+    units = []
+    for st in sorted(k for k in f if k.startswith("stage")):
+        for u in sorted(f[st], key=lambda u: int(u.replace("unit", ""))):
+            units.append((st, u))
+
+    stem = f["init_block"]
+    y = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), stem["kf"], (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + stem["bias"], 0.0)
+    s_in = sc(f"features/{units[0][0]}/{units[0][1]}/dw_conv/conv")
+    xq = _quant(y, s_in)
+
+    def cell_relu(xq, s_in, cell, stride, s_out):
+        y = _conv_i8(xq, cell["wq"], stride).astype(jnp.float32)
+        y = jnp.maximum(y * (cell["gain"] * (s_in / 127.0)) +
+                        cell["bias"], 0.0)
+        if s_out is None:
+            return y
+        return jnp.clip(jnp.round(y * (127.0 / s_out)),
+                        -127, 127).astype(jnp.int8)
+
+    for idx, (st, u) in enumerate(units):
+        uq = f[st][u]
+        s_pw = sc(f"features/{st}/{u}/pw_conv/conv")
+        nxt = None
+        if idx + 1 < len(units):
+            nst, nu = units[idx + 1]
+            nxt = sc(f"features/{nst}/{nu}/dw_conv/conv")
+        xq = cell_relu(xq, s_in, uq["dw_conv"], strides[(st, u)], s_pw)
+        xq = cell_relu(xq, s_pw, uq["pw_conv"], 1, nxt)
+        s_in = nxt
+    feat = jnp.mean(xq, axis=(1, 2))            # f32 (last cell s_out=None)
+    head = qtree["output"]
+    logits = feat @ head["kernel"].astype(jnp.float32) + \
+        head["bias"].astype(jnp.float32)
+    return logits.astype(jnp.bfloat16)
+
+
+def prepare_int8_mobilenet_v1(model, scales: Dict[str, float]
+                              ) -> Tuple[Callable, Dict]:
+    """v1 (dw/pw) pipeline: quantize weights once -> (infer_fn, qtree)."""
+    params = model.variables["params"]
+    stats = model.variables["batch_stats"]
+    strides = _v1_unit_strides(model)
+
+    def walk(p, s):
+        out = {}
+        for k, v in p.items():
+            if isinstance(v, dict) and "conv" in v and "bn" in v \
+                    and "kernel" in v["conv"]:
+                out[k] = _cell_consts(v, s[k])
+            elif isinstance(v, dict):
+                out[k] = walk(v, s.get(k, {}))
+            else:
+                out[k] = v
+        return out
+
+    qfeat = jax.jit(walk)(params["features"], stats["features"])
+    qfeat = dict(qfeat)
+    stem_p = params["features"]["init_block"]
+    stem_s = stats["features"]["init_block"]
+    g0 = stem_p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+        stem_s["bn"]["var"].astype(jnp.float32) + _EPS)
+    qfeat["init_block"] = dict(qfeat["init_block"])
+    qfeat["init_block"]["kf"] = (
+        stem_p["conv"]["kernel"].astype(jnp.float32) * g0
+    ).astype(jnp.bfloat16)
+    head = params["output"]
+    qtree = {"features": qfeat,
+             "output": {"kernel": head["kernel"].astype(jnp.bfloat16),
+                        "bias": head["bias"].astype(jnp.float32)}}
+
+    def infer_fn(qtree, x):
+        return _forward_v1(qtree, x, scales, strides)
+
+    return infer_fn, qtree
 
 
 def prepare_int8_mobilenet(model, scales: Dict[str, float],

@@ -200,7 +200,8 @@ def _se_gate(t, se):
     return (t.astype(jnp.float32) * g).astype(t.dtype)
 
 
-def _forward(qtree, x, scales, conv1_stride, q_residual=False):
+def _forward(qtree, x, scales, conv1_stride, q_residual=False,
+             q_identity=True):
     f = qtree["features"]
     sc = scales.__getitem__
 
@@ -291,8 +292,19 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False):
                 if has_se:
                     t = _se_gate(t, uq["se"])
                 if "identity_conv" in uq:
-                    idf = _cell(xq, s_in, uq["identity_conv"], stride,
-                                False)
+                    if q_identity and s_next is not None:
+                        # The downsample identity conv is the one tensor
+                        # the add cannot fuse away (two conv producers);
+                        # write it int8 at the unit output scale instead
+                        # of bf16 — halves its bytes (TensorRT-style
+                        # residual quantization, on this tensor only:
+                        # full q_residual measured slower e2e).
+                        qid = _cell(xq, s_in, uq["identity_conv"], stride,
+                                    False, s_next)
+                        idf = qid.astype(jnp.float32) * (s_next / 127.0)
+                    else:
+                        idf = _cell(xq, s_in, uq["identity_conv"], stride,
+                                    False)
                 else:
                     idf = (xq.astype(jnp.float32) *
                            (s_in / 127.0)).astype(jnp.bfloat16)
@@ -330,7 +342,8 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False):
 def prepare_int8_resnet(model, scales: Dict[str, float],
                         conv1_stride: Optional[bool] = None,
                         q_residual: bool = False,
-                        group_block: Optional[int] = 32
+                        group_block: Optional[int] = 32,
+                        q_identity: bool = True
                         ) -> Tuple[Callable, Dict]:
     """Serving entry point: quantize weights ONCE, return
     ``(infer_fn, qparams)`` with ``infer_fn(qparams, x) -> logits``.
@@ -372,7 +385,7 @@ def prepare_int8_resnet(model, scales: Dict[str, float],
                         "bias": head["bias"].astype(jnp.float32)}}
 
     def infer_fn(qtree, x):
-        return _forward(qtree, x, scales, c1s, q_residual)
+        return _forward(qtree, x, scales, c1s, q_residual, q_identity)
 
     return infer_fn, qtree
 

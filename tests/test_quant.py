@@ -96,6 +96,23 @@ class TestResnetInt8Pipeline:
         assert not is_mobilenet_v2_tree(
             ptc.get_model("resnet10", in_size=(64, 64)).variables)
 
+    def test_mobilenet_v1_int8_storage_parity(self):
+        """v1 depthwise-separable int8-storage pipeline vs bf16."""
+        from pytorchcv_tpu.quant.mobilenet_int8 import (
+            is_mobilenet_v1_tree, prepare_int8_mobilenet_v1)
+        for name in ("mobilenet_wd2", "fdmobilenet_wd2"):
+            model = ptc.get_model(name, in_size=(64, 64))
+            assert is_mobilenet_v1_tree(model.variables), name
+            calib = [jax.random.uniform(jax.random.PRNGKey(i),
+                                        (4, 64, 64, 3)) for i in range(2)]
+            scales = calibrate_int8(model, calib)
+            fn, qtree = prepare_int8_mobilenet_v1(model, scales)
+            x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+            y8 = jax.jit(fn)(qtree, x)
+            yf = model(x)
+            cos, agree = _agreement(y8, yf)
+            assert cos > 0.985, (name, cos)
+
     def test_mobilenetv3_int8_storage_parity(self):
         """MobileNetV3 int8-storage (relu/hswish mix, hsigmoid SE)."""
         from pytorchcv_tpu.quant.mobilenetv3_int8 import (
