@@ -117,6 +117,17 @@ def test_mobilenet_auto_int8_serving():
     assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
 
 
+def test_mobilenet_v1_auto_int8_serving():
+    """auto mode routes MobileNet v1 trees to the int8-storage pipeline
+    (measured 53.5k img/s int8 vs 41.7k bf16 for mobilenet_w1 on v5e)."""
+    serve = make_serving_fn("mobilenet_wd4", source_hw=(74, 74))
+    raw = np.random.RandomState(9).randint(0, 256, (2, 74, 74, 3),
+                                           np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (2, 1000)
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+
 def test_dense_se_int8_pipeline():
     """SE in the dense (fc1/fc2) parameterization — fastseresnet-style —
     must take the int8 path and match the bf16 reference closely (ADVICE
