@@ -141,17 +141,21 @@ def _preprocess_pallas(planar_u8, r, ct, a, b, out_dtype, interpret: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("mean", "std", "out_dtype",
-                                             "use_pallas", "interpret"))
+                                             "use_pallas", "interpret",
+                                             "layout"))
 def preprocess_batch(images, r, ct, mean: Tuple[float, ...] = IMAGENET_MEAN,
                      std: Tuple[float, ...] = IMAGENET_STD,
                      out_dtype=jnp.bfloat16, use_pallas: Optional[bool] = None,
-                     interpret: bool = False):
+                     interpret: bool = False, layout: str = "nhwc"):
     """Resize + center-crop + normalize a uint8 NHWC batch.
 
     ``images``: (B, H, W, C) uint8; ``r``: (crop_h, H) f32;
     ``ct``: (W, crop_w) f32 (the transposed column matrix). Returns
-    (B, crop_h, crop_w, C) ``out_dtype``. Pallas on TPU; identical-math
-    XLA einsum fallback elsewhere.
+    (B, crop_h, crop_w, C) ``out_dtype`` — or, with ``layout="nchw"``,
+    the planar (B, C, crop_h, crop_w) form the int8 serving pipelines
+    consume natively (the per-channel interpolation math already produces
+    planes, so planar emission just skips a transpose). Pallas on TPU;
+    identical-math XLA einsum fallback elsewhere.
     """
     a, b = _affine(mean, std)
     a, b = jnp.asarray(a), jnp.asarray(b)
@@ -164,9 +168,15 @@ def preprocess_batch(images, r, ct, mean: Tuple[float, ...] = IMAGENET_MEAN,
     if use_pallas or interpret:
         planar = jnp.transpose(images, (0, 3, 1, 2))
         out = _preprocess_pallas(planar, r, ct, a, b, out_dtype, interpret)
+        if layout == "nchw":
+            return out
         return jnp.transpose(out, (0, 2, 3, 1))
     x = images.astype(jnp.float32)
     t = jnp.einsum("oh,bhwc->bowc", r, x, preferred_element_type=jnp.float32)
+    if layout == "nchw":
+        y = jnp.einsum("bowc,wp->bcop", t, ct,
+                       preferred_element_type=jnp.float32)
+        return (y * a[:, None, None] + b[:, None, None]).astype(out_dtype)
     y = jnp.einsum("bowc,wp->bopc", t, ct,
                    preferred_element_type=jnp.float32)
     return (y * a + b).astype(out_dtype)
@@ -174,7 +184,8 @@ def preprocess_batch(images, r, ct, mean: Tuple[float, ...] = IMAGENET_MEAN,
 
 def classification_preprocess(model_name_or_size, in_hw: Tuple[int, int],
                               out_dtype=jnp.bfloat16,
-                              use_pallas: Optional[bool] = None):
+                              use_pallas: Optional[bool] = None,
+                              layout: str = "nhwc"):
     """Build a jitted ``batch_u8 -> model input`` closure for a zoo model.
 
     Looks up (img_size, scale) in the metainfo registry when given a name
@@ -192,7 +203,7 @@ def classification_preprocess(model_name_or_size, in_hw: Tuple[int, int],
 
     def run(images_u8):
         return preprocess_batch(images_u8, r, ct, out_dtype=out_dtype,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, layout=layout)
 
     return run
 

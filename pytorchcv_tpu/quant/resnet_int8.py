@@ -205,8 +205,19 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False,
     f = qtree["features"]
     sc = scales.__getitem__
 
+    # Planar (B,3,H,W) input: the serving preprocess's native emission
+    # (it computes per-channel planes). Isolated, the C_in=3 stem conv is
+    # ~14% faster in NCHW (tools/exp_stem.py: 1.45 vs 1.68 ms batch-384
+    # v5e); measured END-TO-END it is a wash (25.22k vs 25.22k img/s —
+    # XLA hides the boundary transpose in either direction). Accepted
+    # natively anyway: bit-exact, and lets the serving boundary hand over
+    # whichever layout its producer already has.
+    planar = x.ndim == 4 and x.shape[1] == 3 and x.shape[-1] != 3
+
     s_u1 = sc("features/stage1/unit1/body/conv1/conv")
     if "conv" not in f["init_block"]:
+        if planar:
+            x = jnp.transpose(x, (0, 2, 3, 1))
         # Deep 3-conv stem (SENet SEInitBlock): conv1 (C_in=3) in folded
         # bf16, conv2/conv3 int8, maxpool int8.
         ib = f["init_block"]
@@ -225,25 +236,43 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False,
         s_in = s_u1
     else:
         stem = f["init_block"]["conv"]
-        if "kf" in stem:
-            # bf16 folded stem (measured fastest: the C_in=3 conv is
-            # layout-bound, so skipping the image quant + s2d transposes
-            # wins ~0.5 ms/batch-384 over int8 space-to-depth).
+        if "kf" in stem and planar:
             y = jax.lax.conv_general_dilated(
                 x.astype(jnp.bfloat16), stem["kf"], (2, 2),
                 [(3, 3), (3, 3)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                dimension_numbers=("NCHW", "HWIO", "NCHW"),
                 preferred_element_type=jnp.float32)
-            y = jnp.maximum(y + stem["bias"], 0.0)
+            y = jnp.maximum(y + stem["bias"][None, :, None, None], 0.0)
+            q = _quant(y, s_u1)
+            p = jax.lax.reduce_window(
+                q, jnp.int8(-128), jax.lax.max, (1, 1, 3, 3),
+                (1, 1, 2, 2), [(0, 0), (0, 0), (1, 1), (1, 1)])
+            xq = jnp.transpose(p, (0, 2, 3, 1))
+            s_in = s_u1
         else:
-            s_img = sc("features/init_block/conv/conv")
-            xq = _quant(x, s_img)
-            xs, ws = _space_to_depth_stem(xq, stem["wq"])
-            y = _conv_i8(xs, ws, 1, [(1, 0), (1, 0)]).astype(jnp.float32)
-            y = jnp.maximum(y * (stem["gain"] * (s_img / 127.0)) +
-                            stem["bias"], 0.0)
-        xq = _maxpool_i8(_quant(y, s_u1))
-        s_in = s_u1
+            if planar:
+                x = jnp.transpose(x, (0, 2, 3, 1))
+            if "kf" in stem:
+                # bf16 folded stem (measured fastest: the C_in=3 conv is
+                # layout-bound, so skipping the image quant + s2d
+                # transposes wins ~0.5 ms/batch-384 over int8
+                # space-to-depth).
+                y = jax.lax.conv_general_dilated(
+                    x.astype(jnp.bfloat16), stem["kf"], (2, 2),
+                    [(3, 3), (3, 3)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                y = jnp.maximum(y + stem["bias"], 0.0)
+            else:
+                s_img = sc("features/init_block/conv/conv")
+                xq = _quant(x, s_img)
+                xs, ws = _space_to_depth_stem(xq, stem["wq"])
+                y = _conv_i8(xs, ws, 1,
+                             [(1, 0), (1, 0)]).astype(jnp.float32)
+                y = jnp.maximum(y * (stem["gain"] * (s_img / 127.0)) +
+                                stem["bias"], 0.0)
+            xq = _maxpool_i8(_quant(y, s_u1))
+            s_in = s_u1
 
     stage_names = sorted(k for k in f if k.startswith("stage"))
     last_stage = stage_names[-1]

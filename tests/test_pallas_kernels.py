@@ -33,6 +33,24 @@ class TestPreprocess:
                                    atol=1e-4, rtol=1e-4)
         assert out.shape == (2, 32, 32, 3)
 
+    def test_nchw_layout(self):
+        """layout='nchw' emits the planar form of the same values on both
+        the einsum and Pallas paths (the int8 pipelines consume it)."""
+        rng = np.random.RandomState(1)
+        imgs = rng.randint(0, 256, (2, 64, 80, 3), np.uint8)
+        r, c = resize_matrices((64, 80), 32)
+        r, ct = jnp.asarray(r), jnp.asarray(c.T)
+        ref = preprocess_batch(imgs, r, ct, out_dtype=jnp.float32,
+                               use_pallas=False)
+        for kw in ({"use_pallas": False}, {"use_pallas": False,
+                                           "interpret": True}):
+            out = preprocess_batch(imgs, r, ct, out_dtype=jnp.float32,
+                                   layout="nchw", **kw)
+            assert out.shape == (2, 3, 32, 32)
+            np.testing.assert_allclose(
+                np.asarray(out).transpose(0, 2, 3, 1), np.asarray(ref),
+                atol=1e-4, rtol=1e-4)
+
     def test_matches_pil_torchvision_protocol(self):
         """Full protocol parity vs PIL resize + center-crop + normalize
         (the reference eval stack, README.md:157-167)."""

@@ -74,6 +74,21 @@ class TestResnetInt8Pipeline:
         cos, agree = _agreement(y8, yf)
         assert cos > 0.995 and agree == 1.0, (name, cos, agree)
 
+    def test_planar_input_bit_exact(self):
+        """The pipeline accepts the serving boundary's planar (B,3,H,W)
+        layout (the Pallas preprocess's native emission) and must match
+        the NHWC path bit-exactly — same folded stem math, NCHW conv +
+        pool, transpose after the small pooled tensor."""
+        model = ptc.get_model("resnet10", in_size=(64, 64))
+        calib = [jax.random.uniform(jax.random.PRNGKey(0), (4, 64, 64, 3))]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_resnet(model, scales)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+        y_nhwc = jax.jit(fn)(qtree, x)
+        y_nchw = jax.jit(fn)(qtree, jnp.transpose(x, (0, 3, 1, 2)))
+        assert np.array_equal(np.asarray(y_nhwc, np.float32),
+                              np.asarray(y_nchw, np.float32))
+
     def test_mobilenet_int8_storage_parity(self):
         """int8-storage inverted-residual pipeline vs the bf16 model."""
         from pytorchcv_tpu.quant.mobilenet_int8 import (

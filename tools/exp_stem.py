@@ -225,6 +225,58 @@ def s2d2_int8(x, w12q, gain, bias):
     return epilogue(acc.astype(jnp.float32), gain * (S_IMG / 127.0), bias)
 
 
+def _phase_pool(q256):
+    """3x3/s2 pad-1 maxpool computed in s2d2-output (phase) space.
+
+    ``q256``: (B,56,56,256) int8, channel order (p*2+q)*64+o where (p,q)
+    is the output-pixel phase — i.e. plane Ypq[i,j,o] = U[2i+p,2j+q,o]
+    of the (112,112,64) pre-pool tensor U. Pool rows 2m-1..2m+1 map to
+    (m-1,p=1),(m,0),(m,1); cols likewise, so the pooled (56,56,64)
+    result is a max of 6 shifted plane terms — pure VPU, no d2s
+    transpose ever materializes the 112x112 layout."""
+    neg = jnp.int8(-128)
+    pl = [q256[..., k * 64:(k + 1) * 64] for k in range(4)]
+    y00, y01, y10, y11 = pl
+
+    def shift_col(a):          # a[m, n-1] viewed at n
+        return jnp.pad(a, ((0, 0), (0, 0), (1, 0), (0, 0)),
+                       constant_values=neg)[:, :, :-1, :]
+
+    def shift_row(a):          # a[m-1, n] viewed at m
+        return jnp.pad(a, ((0, 0), (1, 0), (0, 0), (0, 0)),
+                       constant_values=neg)[:, :-1, :, :]
+
+    a = jnp.maximum(jnp.maximum(y00, y01), shift_col(y01))
+    b = jnp.maximum(jnp.maximum(y10, y11), shift_col(y11))
+    return jnp.maximum(jnp.maximum(a, b), shift_row(b))
+
+
+def s2d4_pre_int8(xs, w48q, gain, bias):
+    """s2d4 with the packing done OUTSIDE the timed region — the pipeline
+    form where the Pallas preprocess kernel emits (58,58,48) int8
+    directly (it writes per-pixel anyway, the layout is free). Conv is a
+    dense MXU-shaped 3x3/s1 K=432 contraction; pooling stays in phase
+    space so no relayout ever happens."""
+    acc = jax.lax.conv_general_dilated(
+        xs, w48q, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)          # (B,56,56,256)
+    g4 = jnp.tile(gain * (S_IMG / 127.0), 4)
+    b4 = jnp.tile(bias, 4)
+    y = jnp.maximum(acc.astype(jnp.float32) * g4 + b4, 0.0)
+    return _phase_pool(quant(y, S_U1))
+
+
+def s2d4_pre_bf16(xsb, w48f, bias):
+    """Same pipeline form, bf16 tap matrix (no input quantization)."""
+    acc = jax.lax.conv_general_dilated(
+        xsb, w48f, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(acc + jnp.tile(bias, 4), 0.0)
+    return _phase_pool(quant(y, S_U1))
+
+
 def main():
     rng = np.random.RandomState(0)
     k7, wq, gain, bias = make_consts(rng)
@@ -262,6 +314,12 @@ def main():
         "s2d4_im2col_int8": (s2d4_im2col_int8, (x, w48q_flat, gain_j,
                                                 bias_j)),
     }
+
+    xs_pre = jax.jit(lambda v: _s2d4(quant(v, S_IMG)))(x)
+    xsb_pre = jax.jit(lambda v: _s2d4(v.astype(jnp.bfloat16)))(x)
+    variants["s2d4_pre_int8"] = (s2d4_pre_int8,
+                                 (xs_pre, w48q, gain_j, bias_j))
+    variants["s2d4_pre_bf16"] = (s2d4_pre_bf16, (xsb_pre, w48f, bias_j))
 
     ref = np.asarray(jax.jit(direct_int8)(x[:8], wq_j, gain_j, bias_j))
     for name, (fn, args) in variants.items():
