@@ -163,6 +163,10 @@ def preprocess_batch(images, r, ct, mean: Tuple[float, ...] = IMAGENET_MEAN,
     # Pallas path pays planar transposes; both are ~30x faster than model
     # inference, so preprocessing is never the bottleneck). Force the
     # fused kernel with use_pallas=True.
+    # (A transpose-free fused NHWC kernel — interleaved rows, kron(ct,I3)
+    # column matmul — was built and measured 1.56-1.63 ms batch-384 v5e:
+    # per-grid-step overhead over 384 tiny matmuls dominates; strictly
+    # worse than both paths below, removed. ba97b5a^ has the code.)
     if use_pallas is None:
         use_pallas = False
     if use_pallas or interpret:
