@@ -275,3 +275,38 @@ class TestWindowAttention:
         ref = attn_ref(q, q, q, 16 ** -0.5, None)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
+
+
+class TestFusedBottleneck:
+    """Interpret-mode bit-exactness of the fused int8 bottleneck chain
+    against the quant/resnet_int8 _cell segment it replays (the kernel is
+    kept unwired — measured slower than XLA on v5e — but its math is the
+    canonical fused formulation; see kernels/fused_bottleneck.py)."""
+
+    def test_bit_exact_vs_cell_chain(self):
+        from pytorchcv_tpu.kernels.fused_bottleneck import (
+            fused_bottleneck_chain, fused_chain_xla_ref, pack_units)
+        rng = np.random.default_rng(0)
+        h, w, c, m, n_units, bsz = 4, 8, 128, 128, 2, 2
+
+        def mk_cell(cin, cout, k):
+            kern = (rng.standard_normal((k, k, cin, cout))
+                    .astype(np.float32) * 0.05)
+            s_w = np.maximum(np.max(np.abs(kern), axis=(0, 1, 2)),
+                             1e-12) / 127.0
+            wq = np.clip(np.round(kern / s_w), -127, 127).astype(np.int8)
+            return {"wq": jnp.asarray(wq),
+                    "gain": jnp.asarray((s_w * rng.uniform(0.5, 1.5, cout))
+                                        .astype(np.float32)),
+                    "bias": jnp.asarray((rng.standard_normal(cout) * 0.1)
+                                        .astype(np.float32))}
+
+        units = [{"conv1": mk_cell(c, m, 1), "conv2": mk_cell(m, m, 3),
+                  "conv3": mk_cell(m, c, 1)} for _ in range(n_units)]
+        s_chain = [2.5] + [1.8, 2.1, 2.4] * n_units
+        xq = jnp.asarray(rng.integers(-127, 128, (bsz, h, w, c),
+                                      dtype=np.int8))
+        ref = fused_chain_xla_ref(xq, units, s_chain, h, w)
+        out = fused_bottleneck_chain(xq, pack_units(units, s_chain),
+                                     h, w, interpret=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
