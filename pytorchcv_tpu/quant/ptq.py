@@ -52,6 +52,14 @@ def _is_conv_call(mod, method_name: str, args) -> bool:
             and args and hasattr(args[0], "ndim") and args[0].ndim == 4)
 
 
+def _is_dense_call(mod, method_name: str, args) -> bool:
+    # Recorded for pipelines that quantize FC heads (VGG/AlexNet-class);
+    # the generic quantizer never swaps Dense layers, so the extra scale
+    # entries are inert elsewhere.
+    return (isinstance(mod, nn.Dense) and method_name == "__call__"
+            and args and hasattr(args[0], "ndim") and args[0].ndim == 2)
+
+
 def _quantizable(mod, method_name: str, args) -> bool:
     # Calibration records every conv input; only dense (group=1) convs are
     # *swapped* to int8 by the generic quantizer — grouped/depthwise convs
@@ -75,7 +83,8 @@ def calibrate_int8(model, batches: Iterable, variables=None) -> Dict[str, float]
 
         def ic(next_fn, a, k, ctx):
             mod = ctx.module
-            if _is_conv_call(mod, ctx.method_name, a):
+            if _is_conv_call(mod, ctx.method_name, a) or \
+                    _is_dense_call(mod, ctx.method_name, a):
                 path = "/".join(str(p) for p in mod.path)
                 amax = jnp.max(jnp.abs(a[0].astype(jnp.float32)))
                 prev = rec.get(path)

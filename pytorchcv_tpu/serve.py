@@ -112,6 +112,11 @@ def _is_mobilenet_v1(variables) -> bool:
     return is_mobilenet_v1_tree(variables)
 
 
+def _is_plain_vgg(variables) -> bool:
+    from .quant.vgg_int8 import is_plain_vgg
+    return is_plain_vgg(variables)
+
+
 def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                     mode: str = "auto", task: str = "classification",
                     calib_batches: Optional[Sequence] = None,
@@ -188,6 +193,13 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         from .quant.mobilenet_int8 import prepare_int8_mobilenet_v1
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_mobilenet_v1(model, scales)
+        infer = lambda x: fn(qtree, x)
+    elif use_int8 and _is_plain_vgg(model.variables):
+        # compute-dominated dense 3x3 stacks: the int8 MXU is a ~2x
+        # lever (see quant/vgg_int8.py measured numbers)
+        from .quant.vgg_int8 import prepare_int8_vgg
+        scales = _calibrate(model, calib_batches, pre, source_hw)
+        fn, qtree = prepare_int8_vgg(model, scales)
         infer = lambda x: fn(qtree, x)
     elif mode == "int8" and _is_mobilenet_v3(model):
         # measured a wash vs bf16 on v5e (the SE gates force the expanded

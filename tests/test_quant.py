@@ -128,6 +128,29 @@ class TestResnetInt8Pipeline:
             cos, agree = _agreement(y8, yf)
             assert cos > 0.985, (name, cos)
 
+    def test_vgg_int8_storage_parity(self):
+        """VGG int8-storage pipeline (conv stacks + int8 fc head) vs
+        bf16, across all three parameterizations (bias / bn / bn+bias)."""
+        from pytorchcv_tpu.quant.vgg_int8 import (is_plain_vgg,
+                                                  prepare_int8_vgg)
+        for name in ("vgg11", "bn_vgg11", "bn_vgg11b"):
+            model = ptc.get_model(name, in_size=(64, 64))
+            assert is_plain_vgg(model.variables), name
+            calib = [jax.random.uniform(jax.random.PRNGKey(i),
+                                        (4, 64, 64, 3)) for i in range(2)]
+            scales = calibrate_int8(model, calib)
+            assert "output/fc1/fc" in scales and "output/fc3" in scales
+            fn, qtree = prepare_int8_vgg(model, scales)
+            x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+            y8 = jax.jit(fn)(qtree, x)
+            yf = model(x)
+            cos, agree = _agreement(y8, yf)
+            assert cos > 0.98 and agree == 1.0, (name, cos, agree)
+        assert not is_plain_vgg(
+            ptc.get_model("resnet10", in_size=(64, 64)).variables)
+        assert not is_plain_vgg(
+            ptc.get_model("alexnet", in_size=(224, 224)).variables)
+
     def test_mobilenetv3_int8_storage_parity(self):
         """MobileNetV3 int8-storage (relu/hswish mix, hsigmoid SE)."""
         from pytorchcv_tpu.quant.mobilenetv3_int8 import (
