@@ -117,6 +117,11 @@ def _is_plain_vgg(variables) -> bool:
     return is_plain_vgg(variables)
 
 
+def _is_darknet53(variables) -> bool:
+    from .quant.darknet_int8 import is_darknet53_tree
+    return is_darknet53_tree(variables)
+
+
 def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                     mode: str = "auto", task: str = "classification",
                     calib_batches: Optional[Sequence] = None,
@@ -193,6 +198,14 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         from .quant.mobilenet_int8 import prepare_int8_mobilenet_v1
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_mobilenet_v1(model, scales)
+        infer = lambda x: fn(qtree, x)
+    elif use_int8 and _is_darknet53(model.variables):
+        # compute-dominated leaky-ReLU conv stacks: generic int8 already
+        # measured 1.28x bf16; the storage pipeline goes further (see
+        # quant/darknet_int8.py measured numbers)
+        from .quant.darknet_int8 import prepare_int8_darknet
+        scales = _calibrate(model, calib_batches, pre, source_hw)
+        fn, qtree = prepare_int8_darknet(model, scales)
         infer = lambda x: fn(qtree, x)
     elif use_int8 and _is_plain_vgg(model.variables):
         # compute-dominated dense 3x3 stacks: the int8 MXU is a ~2x

@@ -151,6 +151,27 @@ class TestResnetInt8Pipeline:
         assert not is_plain_vgg(
             ptc.get_model("alexnet", in_size=(224, 224)).variables)
 
+    def test_darknet_int8_storage_parity(self):
+        """DarkNet-53 int8-storage pipeline (leaky-ReLU cells, bf16
+        residual adds) vs the bf16 model."""
+        from pytorchcv_tpu.quant.darknet_int8 import (is_darknet53_tree,
+                                                      prepare_int8_darknet)
+        model = ptc.get_model("darknet53", in_size=(64, 64))
+        assert is_darknet53_tree(model.variables)
+        calib = [jax.random.uniform(jax.random.PRNGKey(i), (4, 64, 64, 3))
+                 for i in range(2)]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_darknet(model, scales)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+        y8 = jax.jit(fn)(qtree, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.985 and agree == 1.0, (cos, agree)
+        assert not is_darknet53_tree(
+            ptc.get_model("resnet10", in_size=(64, 64)).variables)
+        assert not is_darknet53_tree(
+            ptc.get_model("darknet_tiny", in_size=(64, 64)).variables)
+
     def test_mobilenetv3_int8_storage_parity(self):
         """MobileNetV3 int8-storage (relu/hswish mix, hsigmoid SE)."""
         from pytorchcv_tpu.quant.mobilenetv3_int8 import (
