@@ -125,7 +125,8 @@ def _is_darknet53(variables) -> bool:
 def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                     mode: str = "auto", task: str = "classification",
                     calib_batches: Optional[Sequence] = None,
-                    mesh=None, pretrained: bool = False) -> Callable:
+                    mesh=None, shard: str = "data",
+                    pretrained: bool = False) -> Callable:
     """Build a jitted ``uint8 (B, H, W, 3) -> outputs`` closure.
 
     ``mode``:
@@ -150,6 +151,13 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     (ImageNet-normalized, roughly [-2.1, 2.6]) — pass real samples for
     deployment-grade scales.
     ``mesh``: optional Mesh; batch is sharded over its 'data' axis.
+    ``shard``: with a mesh, 'data' (default) shards the batch axis —
+    the zoo's ``test_batch`` throughput protocol — while 'spatial'
+    shards the image H axis instead (parallel/inference.py
+    ``spatial_infer_fn``): the latency path for huge segmentation
+    inputs (Cityscapes 1024x2048) where a single image spans the mesh
+    and XLA inserts the conv halo exchanges automatically. The source
+    H must be divisible by the mesh axis size (pad the frame if not).
     """
     model = get_model(model_name, pretrained=pretrained)
     from .kernels.preprocess import (classification_preprocess,
@@ -245,6 +253,11 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     if mesh is None:
         return jax.jit(pipeline)
     from jax.sharding import NamedSharding, PartitionSpec as P
+    if shard == "spatial":
+        sp = NamedSharding(mesh, P(None, "data", None, None))
+        return jax.jit(pipeline, in_shardings=(sp,))
+    if shard != "data":
+        raise ValueError(f"unknown shard mode '{shard}'")
     spec = NamedSharding(mesh, P("data"))
     if task == "classification":
         return jax.jit(pipeline, in_shardings=(spec,), out_shardings=spec)

@@ -97,6 +97,27 @@ def test_segmentation_serving_end_to_end():
     assert bool(jnp.all(jnp.isfinite(main.astype(jnp.float32))))
 
 
+def test_spatial_sharded_segmentation_serving():
+    """shard='spatial' splits the image H axis over the mesh (the
+    latency path for huge seg inputs); outputs must match unsharded —
+    XLA inserts the conv halo exchanges."""
+    serve1 = make_serving_fn("fastscnn_cityscapes", source_hw=(104, 180),
+                             task="segmentation", mode="bf16")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    serve8 = make_serving_fn("fastscnn_cityscapes", source_hw=(104, 180),
+                             task="segmentation", mode="bf16",
+                             mesh=mesh, shard="spatial")
+    raw = np.random.RandomState(3).randint(0, 256, (1, 104, 180, 3),
+                                           np.uint8)
+    y1 = serve1(jnp.asarray(raw))
+    y8 = serve8(jnp.asarray(raw))
+    m1 = y1[0] if isinstance(y1, (tuple, list)) else y1
+    m8 = y8[0] if isinstance(y8, (tuple, list)) else y8
+    np.testing.assert_allclose(np.asarray(m8, np.float32),
+                               np.asarray(m1, np.float32),
+                               rtol=0.02, atol=0.05)
+
+
 def test_pose_serving_end_to_end():
     """COCO pose protocol: 256x192 person crops -> decoded keypoints."""
     serve = make_serving_fn("simplepose_mobile_mobilenetv3_small_w1_coco",
