@@ -104,8 +104,61 @@ def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
 
 
 def lookup_corr(pyramid, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """Sample (2r+1)^2 windows around ``coords`` at every pyramid level
-    (reference CorrCalculator.__call__:181)."""
+    """Sample (2r+1)^2 bilinear windows around ``coords`` at every pyramid
+    level (reference CorrCalculator.__call__:181) — as MATMULS, not
+    gathers.
+
+    The direct port (``lookup_corr_gather`` below) grid_samples a C=1
+    volume: 4 scalar gathers x 81 offsets x 4 levels x iters — the worst
+    case for the TPU gather path; raft_small measured 1.7 pairs/s at
+    368x768 with it. Because every window is an axis-aligned bilinear
+    grid around one centroid, the sampling operator factorizes per pixel
+    into (2r+1, Hl) x (Hl, Wl) x (Wl, 2r+1) banded one-hot matmuls with
+    the lerp weights folded into the bands:
+
+        Wy[k, y] = (1-wy)*[y == y0+k] + wy*[y == y0+k+1]
+        Wx[j, x] = (1-wx)*[x == x0+j] + wx*[x == x0+j+1]
+        window   = Wy @ corr @ Wx^T
+
+    Out-of-range taps match no one-hot column and contribute zero —
+    exactly F.grid_sample's zeros padding. Identical math, MXU-shaped.
+    """
+    b, h, w, _ = coords.shape
+    r = radius
+    ks = 2 * r + 1
+    n = b * h * w
+    lin = jnp.linspace(-r, r, ks, dtype=jnp.float32)
+    centroid = coords.reshape(n, 2)
+    outs = []
+    for i, corr in enumerate(pyramid):
+        hl, wl = corr.shape[1:3]
+        cm = corr.reshape(n, hl, wl)
+        c = centroid / (2.0 ** i)
+        fx = c[:, 0, None] + lin                 # (n, ks)
+        fy = c[:, 1, None] + lin
+        x0 = jnp.floor(fx)
+        y0 = jnp.floor(fy)
+        wx = (fx - x0)[:, :, None]
+        wy = (fy - y0)[:, :, None]
+        ys = jnp.arange(hl, dtype=jnp.float32)
+        xs = jnp.arange(wl, dtype=jnp.float32)
+        wy_m = ((1.0 - wy) * (ys == y0[:, :, None]) +
+                wy * (ys == y0[:, :, None] + 1.0)).astype(cm.dtype)
+        wx_m = ((1.0 - wx) * (xs == x0[:, :, None]) +
+                wx * (xs == x0[:, :, None] + 1.0)).astype(cm.dtype)
+        rows = jnp.einsum("nkh,nhw->nkw", wy_m, cm)      # (n, ks_y, wl)
+        # output layout matches the gather port: slow axis = x offset,
+        # fast axis = y offset (the reference adds delta[...,0] to x).
+        win = jnp.einsum("nkw,njw->njk", rows, wx_m)     # (n, ks_x, ks_y)
+        outs.append(win.reshape(b, h, w, ks * ks))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def lookup_corr_gather(pyramid, coords: jnp.ndarray,
+                       radius: int) -> jnp.ndarray:
+    """Direct grid_sample port of the reference lookup — the parity
+    oracle for ``lookup_corr`` (tests/test_flow_parity.py); not used in
+    the serving path (scalar-gather-bound on TPU)."""
     b, h, w, _ = coords.shape
     r = radius
     lin = jnp.linspace(-r, r, 2 * r + 1, dtype=jnp.float32)

@@ -74,3 +74,27 @@ def test_bidirectional_video_flow_shapes():
         lambda a, b: model.apply(model.variables, a, b), frames)
     assert flows.shape == (2, 128, 128, 4)
     assert bool(jnp.isfinite(flows).all())
+
+
+def test_lookup_corr_matmul_matches_gather():
+    """The MXU matmul reformulation of the correlation-window lookup must
+    match the direct grid_sample port everywhere, including windows that
+    straddle the volume border (zeros padding)."""
+    import jax
+    import jax.numpy as jnp
+    from pytorchcv_tpu.models.raft import (build_corr_pyramid, lookup_corr,
+                                           lookup_corr_gather)
+
+    rs = np.random.RandomState(0)
+    b, h, w, c = 2, 16, 24, 32
+    f1 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    f2 = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    pyramid = build_corr_pyramid(f1, f2, num_levels=4)
+    # coords spanning in-range, fractional, and out-of-range positions
+    coords = jnp.asarray(rs.rand(b, h, w, 2) * [w + 8, h + 8] - 4.0,
+                         jnp.float32)
+    got = jax.jit(lambda p, co: lookup_corr(p, co, 4))(pyramid, coords)
+    ref = jax.jit(lambda p, co: lookup_corr_gather(p, co, 4))(
+        pyramid, coords)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -25,7 +25,12 @@ ITERS = 10
 
 def time_apply(fn, *args):
     """Scan-chained timing (see CLAUDE.md: block_until_ready does not
-    sync through the axon tunnel); varies the first arg per iteration."""
+    sync through the axon tunnel); varies the first arg per iteration.
+
+    Model variables MUST be passed through ``args`` (fn's trailing
+    parameters), never closed over: closure constants are inlined into
+    the HLO and a 332M-param model blows the tunnel's remote-compile
+    request limit (HTTP 413)."""
     @functools.partial(jax.jit, static_argnums=0)
     def run_n(n, *a):
         def body(carry, i):
@@ -70,10 +75,10 @@ def main():
                 audio = jnp.asarray(rs.randn(B, T) * 0.1, jnp.bfloat16)
                 lens = jnp.full((B,), T, jnp.int32)
 
-                def fn(a, l, m=m):
-                    return m.module.apply(m.variables, a, l, train=False)
+                def fn(a, l, v, m=m):
+                    return m.module.apply(v, a, l, train=False)
 
-                dt = time_apply(fn, audio, lens)
+                dt = time_apply(fn, audio, lens, m.variables)
                 print(f"{name:18s} B{B} {secs:.0f}s audio: "
                       f"{dt*1e3:8.2f} ms  {B/dt:6.1f} utt/s  "
                       f"RTFx {B*secs/dt:7.0f}", flush=True)
@@ -88,10 +93,10 @@ def main():
                 f1 = jnp.asarray(rs.rand(B, H, W, 3) * 255, jnp.bfloat16)
                 f2 = jnp.asarray(rs.rand(B, H, W, 3) * 255, jnp.bfloat16)
 
-                def fn(a, b, m=m):
-                    return m.module.apply(m.variables, a, b, train=False)
+                def fn(a, b, v, m=m):
+                    return m.module.apply(v, a, b, train=False)
 
-                dt = time_apply(fn, f1, f2)
+                dt = time_apply(fn, f1, f2, m.variables)
                 print(f"{name:18s} B{B} {H}x{W}: {dt*1e3:8.2f} ms  "
                       f"{B/dt:6.1f} pairs/s", flush=True)
             except Exception as e:
@@ -103,10 +108,10 @@ def main():
             B, H, W = 8, 480, 640
             x = jnp.asarray(rs.rand(B, H, W, 1), jnp.bfloat16)
 
-            def fn(a, m=m):
-                return m.module.apply(m.variables, a, train=False)
+            def fn(a, v, m=m):
+                return m.module.apply(v, a, train=False)
 
-            dt = time_apply(fn, x)
+            dt = time_apply(fn, x, m.variables)
             print(f"superpointnet      B{B} {H}x{W}: {dt*1e3:8.2f} ms  "
                   f"{B/dt:6.1f} frames/s", flush=True)
         except Exception as e:
