@@ -11,6 +11,16 @@ tunnel — the number is a lower bound on colocated-host throughput. The
 first pass compiles every window shape; the timed pass reuses them.
 
 Usage: python tools/exp_stream_tpu.py [H W T step]
+
+MEASURED (v5e via axon tunnel, 2026-08-18, T=24 step=6):
+  240x432: 78.7 s  (0.30 frames/s)
+  64x128: 102.0 s  (0.24 frames/s)   <- device work ~0.2 s!
+The wall time is RESOLUTION-INDEPENDENT: it is host-dispatch latency
+through the tunnel (hundreds of tiny buffer/slice/window ops, each a
+round trip), not device time. Per-stage device programs at 240x432 sum
+to ~5.2 s per 24 frames (tools/exp_stream_stages.py: raft 2x232 ms,
+rfc 615 ms, ip 314 ms, transformer ~5x754 ms) => ~4.6 frames/s expected
+with a colocated host (production TPU-VM topology).
 """
 
 import os
