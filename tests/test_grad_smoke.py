@@ -25,6 +25,11 @@ import jax.numpy as jnp
 import pytorchcv_tpu as ptc
 
 # (name, in_size or None for model default, ctor kwargs)
+# None = the model's native size: architectures with fixed-size pools,
+# cyclic downsampling, or NAS cells (scnet, diracnet, octresnet,
+# sharesnet, revnet, espnetv2, squeezenext, nasnet, darts, polynet,
+# channelnet) cannot run at reduced sizes — the reference's own _test
+# harnesses only ever run them at their native resolution.
 CASES = [
     # A residual family
     ("resnet10", (64, 64), {}),
@@ -34,19 +39,19 @@ CASES = [
     ("resnext14_32x4d", (64, 64), {}),
     ("senet16", (64, 64), {}),
     ("resnestabc14", (64, 64), {}),
-    ("scnet50", (64, 64), {}),
+    ("scnet50", None, {}),
     ("ibn_resnet50", (64, 64), {}),
     ("dpn68", (224, 224), {}),
     ("hrnet_w18_small_v1", (64, 64), {}),
     ("pyramidnet101_a360", (64, 64), {}),
-    ("diracnet18v2", (64, 64), {}),
+    ("diracnet18v2", None, {}),
     ("bagnet9", (64, 64), {}),
-    ("octresnet10_ad2", (64, 64), {}),
+    ("octresnet10_ad2", None, {}),
     ("fishnet99", (224, 224), {}),
-    ("sharesnet18", (64, 64), {}),
+    ("sharesnet18", None, {}),
     ("resattnet56", (224, 224), {}),
     ("isqrtcovresnet18", (64, 64), {}),
-    ("revnet38", (64, 64), {}),
+    ("revnet38", None, {}),
     ("irevnet301", (224, 224), {}),
     ("diaresnet18", (64, 64), {}),
     ("dla34", (64, 64), {}),
@@ -67,20 +72,20 @@ CASES = [
     ("efficientnet_b0", (64, 64), {}),
     ("ghostnet", (64, 64), {}),
     ("dicenet_wd5", (224, 224), {}),
-    ("espnetv2_wd2", (64, 64), {}),
+    ("espnetv2_wd2", None, {}),
     ("hardnet39ds", (64, 64), {}),
     ("selecsls42", (64, 64), {}),
-    ("sqnxt23_w1", (64, 64), {}),
+    ("sqnxt23_w1", None, {}),
     ("squeezenet_v1_1", (64, 64), {}),
     # D inception/NAS
     ("xception", (96, 96), {}),
     ("inceptionv3", (160, 160), {}),
     ("inceptionresnetv2", (160, 160), {}),
-    ("nasnet_4a1056", (32, 32), {}),
-    ("darts", (64, 64), {}),
-    ("polynet", (224, 224), {}),
+    ("nasnet_4a1056", None, {}),
+    ("darts", None, {}),
+    ("polynet", None, {}),
     ("bninception", (64, 64), {}),
-    ("channelnet", (64, 64), {}),
+    ("channelnet", None, {}),
     ("msdnet22", (224, 224), {}),
     # E CIFAR specials (custom vjp / stochastic depth)
     ("resnet20_cifar10", (32, 32), {}),
