@@ -227,6 +227,7 @@ class Model:
             return x
 
         variables = dict(self.variables)
-        variables["params"] = jax.tree_util.tree_map_with_path(
-            cast, variables["params"])
+        if "params" in variables:     # parameterless models (propainter_ip)
+            variables["params"] = jax.tree_util.tree_map_with_path(
+                cast, variables["params"])
         return dataclasses.replace(self, variables=variables)

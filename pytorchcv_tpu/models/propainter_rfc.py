@@ -44,7 +44,7 @@ class DeformConv(nn.Module):
     deform_groups: int = 16
 
     @nn.compact
-    def __call__(self, x, offset, mask):
+    def __call__(self, x, offset, mask, center=None, residue_bound=None):
         in_channels = x.shape[-1]
         kernel = self.param("kernel", conv_kernel_init,
                             (self.kernel_size, self.kernel_size,
@@ -53,7 +53,8 @@ class DeformConv(nn.Module):
                           (self.out_channels,))
         return deform_conv2d(x, offset, mask, kernel, bias, stride=1,
                              padding=self.padding,
-                             deform_groups=self.deform_groups)
+                             deform_groups=self.deform_groups,
+                             center=center, residue_bound=residue_bound)
 
 
 class SecondOrderDeformableAlignment(nn.Module):
@@ -85,6 +86,12 @@ class SecondOrderDeformableAlignment(nn.Module):
             offset = offset + jnp.tile(flow_yx,
                                        (1, 1, 1, offset.shape[-1] // 2))
         mask = jax.nn.sigmoid(mask)
+        # NOTE: offsets are center + tanh-bounded residual by
+        # construction, so nn/deform.py's bounded-offset patch path
+        # applies — but it MEASURED SLOWER in context (980 vs 737 ms
+        # transformer window on v5e: per-pixel (P,P,C) patches replace
+        # gather-index cost with untiled HBM traffic). The general
+        # 4-gather path stays the measured default.
         return DeformConv(out_channels=self.out_channels,
                           deform_groups=self.deform_groups,
                           name="deform_conv")(x, offset, mask)
@@ -199,6 +206,9 @@ class ConvBlock3d(nn.Module):
             def __call__(self, x):
                 kernel = self.param("kernel", conv_kernel_init,
                                     (*ks, x.shape[-1], out_channels))
+                # match flax nn.Conv's dtype promotion so bf16-cast
+                # params work with f32 inputs (Model.as_bfloat16)
+                x = x.astype(kernel.dtype)
                 y = jax.lax.conv_general_dilated(
                     x, kernel, window_strides=st, padding=pad,
                     rhs_dilation=dl,

@@ -149,3 +149,43 @@ def test_propainter_parity():
     err = np.abs(y - y_ref.numpy()).max() / (np.abs(y_ref.numpy()).max() +
                                              1e-9)
     assert err < 1e-4
+
+
+def test_deform_bounded_fast_path_matches_general():
+    """The bounded-offset patch+one-hot deform path must match the
+    4-gather general path everywhere, including pixels whose sample
+    windows straddle the image border (OOB-zero semantics)."""
+    import jax.numpy as jnp
+    from pytorchcv_tpu.nn.deform import (_deform_general, _deform_patch,
+                                         deform_conv2d)
+
+    rs = np.random.RandomState(0)
+    b, h, w, c, g, rb = 2, 20, 24, 32, 4, 3.0
+    k2 = 9
+    x = jnp.asarray(rs.randn(b, h, w, c), jnp.float32)
+    kernel = jnp.asarray(rs.randn(3, 3, c, 16) * 0.1, jnp.float32)
+    bias = jnp.asarray(rs.randn(16), jnp.float32)
+    # center: a large shared shift per pixel; residual bounded by rb
+    center = jnp.asarray(rs.randn(b, h, w, 2) * 6.0, jnp.float32)
+    resid = jnp.asarray(rs.uniform(-rb, rb, (b, h, w, g, k2, 2)),
+                        jnp.float32)
+    offset = (resid + center[:, :, :, None, None, :]).reshape(
+        b, h, w, g * k2 * 2)
+    mask = jnp.asarray(rs.rand(b, h, w, g * k2), jnp.float32)
+
+    ref = _deform_general(x, offset, mask, kernel, bias, 1, 1, g)
+    got = deform_conv2d(x, offset, mask, kernel, bias, stride=1,
+                        padding=1, deform_groups=g, center=center,
+                        residue_bound=rb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # tiny images fall back to the general path (patch cannot fit)
+    xs = x[:, :8, :8]
+    got_small = deform_conv2d(
+        xs, offset[:, :8, :8], mask[:, :8, :8], kernel, bias,
+        deform_groups=g, center=center[:, :8, :8], residue_bound=rb)
+    ref_small = _deform_general(xs, offset[:, :8, :8], mask[:, :8, :8],
+                                kernel, bias, 1, 1, g)
+    np.testing.assert_allclose(np.asarray(got_small),
+                               np.asarray(ref_small), rtol=1e-4,
+                               atol=1e-4)

@@ -8,7 +8,9 @@ to locate where the time goes: RAFT window / RFC completion / image
 propagation / transformer window / host orchestration (= e2e minus the
 sum).
 
-Usage: python tools/exp_stream_stages.py [H W]
+Usage: python tools/exp_stream_stages.py [H W] [--f32]
+(bf16 models by default — the serving precision; --f32 for the
+reference numerics.)
 """
 
 import os
@@ -37,8 +39,9 @@ def timeit(label, fn, *args, iters=3):
 
 
 def main():
-    H, W = (int(a) for a in sys.argv[1:3]) if len(sys.argv) > 2 \
-        else (240, 432)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    f32 = "--f32" in sys.argv
+    H, W = (int(a) for a in args[:2]) if len(args) >= 2 else (240, 432)
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(__file__), "..",
                                    ".jax_cache"))
@@ -49,10 +52,16 @@ def main():
         calc_bidirectional_opt_flow_completion_by_pprfc)
 
     rs = np.random.RandomState(0)
-    raft = ptc.get_model("raft_small", in_size=(H, W), iters=12)
-    rfc = ptc.get_model("propainter_rfc", in_size=(H, W))
-    ip = ptc.get_model("propainter_ip", in_size=(H, W))
-    pp = ptc.get_model("propainter", in_size=(H, W))
+
+    def get(name, **kw):
+        m = ptc.get_model(name, **kw)
+        return m if f32 else m.as_bfloat16()
+
+    print(f"precision: {'f32' if f32 else 'bf16'}", flush=True)
+    raft = get("raft_small", in_size=(H, W), iters=12)
+    rfc = get("propainter_rfc", in_size=(H, W))
+    ip = get("propainter_ip", in_size=(H, W))
+    pp = get("propainter", in_size=(H, W))
 
     # RAFT window (streaming window_size=12 at <=640px)
     frames12 = jnp.asarray(rs.rand(12, H, W, 3) * 255, jnp.float32)
