@@ -76,3 +76,33 @@ def test_driver_dryrun_multichip():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_multihost_feed_sharded_matches_device_put():
+    """feed_sharded assembles a global array from process-local data; in
+    a single-process job it must equal a plain sharded device_put, and
+    flow through a sharded forward unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.parallel import (data_parallel_infer_fn,
+                                        feed_sharded, initialize_multihost,
+                                        make_global_mesh)
+
+    initialize_multihost()            # no-op single process
+    mesh = make_global_mesh((8, 1))
+    rng = np.random.RandomState(0)
+    batch = rng.rand(16, 64, 64, 3).astype(np.float32)
+    fed = feed_sharded(mesh, batch)
+    assert fed.shape == (16, 64, 64, 3)
+    direct = jax.device_put(jnp.asarray(batch),
+                            NamedSharding(mesh, P("data")))
+    np.testing.assert_array_equal(np.asarray(fed), np.asarray(direct))
+
+    model = ptc.get_model("resnet10", in_size=(64, 64))
+    fn = data_parallel_infer_fn(model, mesh, donate_input=False)
+    y_fed = np.asarray(fn(model.variables, fed))
+    y_dir = np.asarray(fn(model.variables, direct))
+    np.testing.assert_array_equal(y_fed, y_dir)
