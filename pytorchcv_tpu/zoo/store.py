@@ -97,8 +97,14 @@ def download_model_file(file_name: str, file_path: str, release: str,
                 for chunk in r.iter_content(chunk_size=1048576):
                     f.write(chunk)
             with zipfile.ZipFile(zip_file_path) as zf:
+                names = zf.namelist()
                 zf.extractall(os.path.dirname(file_path))
             os.remove(zip_file_path)
+            if not os.path.exists(file_path) and len(names) == 1:
+                # tolerate release zips whose inner name differs from
+                # the canonical {name}-{error}-{sha1[:8]}.pth
+                os.replace(os.path.join(os.path.dirname(file_path),
+                                        names[0]), file_path)
             if not _check_sha1(file_path, sha1):
                 raise RuntimeError(f"SHA1 mismatch for {file_path}")
             return file_path

@@ -73,3 +73,119 @@ def test_load_torch_checkpoint_roundtrip(tmp_path):
     assert set(loaded) == set(sd)
     np.testing.assert_allclose(np.asarray(loaded["features.conv.weight"]),
                                np.arange(12.0).reshape(3, 4))
+
+
+class _FakeResponse:
+    def __init__(self, content, status=200):
+        self._content = content
+        self.status_code = status
+
+    def iter_content(self, chunk_size):
+        for i in range(0, len(self._content), chunk_size):
+            yield self._content[i:i + chunk_size]
+
+
+def _zip_bytes(inner_name, payload):
+    import io
+    import zipfile
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(inner_name, payload)
+    return buf.getvalue()
+
+
+def test_download_extract_verify_full_path(tmp_path, monkeypatch):
+    """The complete download -> unzip -> sha1-verify path against a fake
+    HTTP layer (zero egress here; this is the closest offline exercise of
+    the live-release flow, including the retry loop)."""
+    import sys
+    import types
+
+    payload = b"pretend checkpoint"
+    sha1 = hashlib.sha1(payload).hexdigest()
+    fname = f"somemodel-0123-{sha1[:8]}.pth"
+    fpath = str(tmp_path / fname)
+
+    calls = {"n": 0}
+
+    def fake_get(url, stream, timeout):
+        calls["n"] += 1
+        assert url.endswith(fname + ".zip")
+        if calls["n"] == 1:          # first attempt: transient failure
+            return _FakeResponse(b"", status=503)
+        return _FakeResponse(_zip_bytes(fname, payload))
+
+    fake_requests = types.SimpleNamespace(get=fake_get)
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+    out = store.download_model_file(fname, fpath, "v0.0.1", sha1)
+    assert out == fpath and calls["n"] == 2
+    assert open(fpath, "rb").read() == payload
+
+
+def test_download_tolerates_mismatched_inner_zip_name(tmp_path,
+                                                      monkeypatch):
+    """Release zips whose single inner file is named differently from the
+    canonical {name}-{error}-{sha1[:8]}.pth must still verify."""
+    import sys
+    import types
+
+    payload = b"other layout"
+    sha1 = hashlib.sha1(payload).hexdigest()
+    fname = f"somemodel-0456-{sha1[:8]}.pth"
+    fpath = str(tmp_path / fname)
+    fake_requests = types.SimpleNamespace(get=lambda url, stream, timeout:
+                                          _FakeResponse(_zip_bytes(
+                                              "weights_final.pth", payload)))
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+    out = store.download_model_file(fname, fpath, "v0.0.1", sha1)
+    assert open(out, "rb").read() == payload
+
+
+def test_download_sha1_mismatch_raises(tmp_path, monkeypatch):
+    import sys
+    import types
+
+    payload = b"corrupted"
+    fname = "somemodel-0789-deadbeef.pth"
+    fpath = str(tmp_path / fname)
+    fake_requests = types.SimpleNamespace(get=lambda url, stream, timeout:
+                                          _FakeResponse(_zip_bytes(
+                                              fname, payload)))
+    monkeypatch.setitem(sys.modules, "requests", fake_requests)
+    with pytest.raises(RuntimeError, match="after 2 attempts"):
+        store.download_model_file(fname, fpath, "v0.0.1", "0" * 40,
+                                  retries=2)
+
+
+def test_converter_key_order_independent():
+    """Released checkpoints vary in state_dict key order across tags;
+    the generic converter must map by name, not order."""
+    import sys
+    sys.path.insert(0, "tests")
+    from conftest import add_reference_to_path, has_reference
+    if not has_reference():
+        pytest.skip("reference repo not mounted")
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.zoo.convert import convert_state_dict
+
+    add_reference_to_path()
+    from pytorchcv.models import resnet as ref_mod
+    torch.manual_seed(0)
+    torch.set_num_threads(1)
+    ref = ref_mod.resnet10(pretrained=False).eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    assert any(k.endswith("num_batches_tracked") for k in sd)
+    shuffled = dict(reversed(list(sd.items())))
+
+    model = ptc.get_model("resnet10", init=False)
+    shapes = model.shape_variables()
+    v1 = convert_state_dict(sd, shapes)
+    v2 = convert_state_dict(shuffled, shapes)
+    leaves1 = jax.tree_util.tree_leaves(v1)
+    leaves2 = jax.tree_util.tree_leaves(v2)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
