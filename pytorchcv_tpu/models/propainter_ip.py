@@ -33,10 +33,11 @@ def flow_warp(x, flow, interpolation: str = "bilinear",
     """Warp (B, H, W, C) by pixel-offset flow (B, H, W, 2)=(dx, dy)
     (reference propainter_ip.py:18)."""
     b, h, w, _ = x.shape
-    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=x.dtype),
-                          jnp.arange(w, dtype=x.dtype), indexing="ij")
-    fx = gx[None] + flow[..., 0]
-    fy = gy[None] + flow[..., 1]
+    # f32 coordinates: bf16 pixel positions are ~2 px coarse at x~430.
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    fx = gx[None] + flow[..., 0].astype(jnp.float32)
+    fy = gy[None] + flow[..., 1].astype(jnp.float32)
     grid = jnp.stack([2.0 * fx / max(w - 1, 1) - 1.0,
                       2.0 * fy / max(h - 1, 1) - 1.0], axis=-1)
     return grid_sample(x, grid, mode=interpolation,

@@ -128,7 +128,9 @@ def lookup_corr(pyramid, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
     ks = 2 * r + 1
     n = b * h * w
     lin = jnp.linspace(-r, r, ks, dtype=jnp.float32)
-    centroid = coords.reshape(n, 2)
+    # f32 positions: bf16 coords are ~0.25-0.5 px coarse at the 1/8-res
+    # grid widths of streaming resolutions.
+    centroid = coords.reshape(n, 2).astype(jnp.float32)
     outs = []
     for i, corr in enumerate(pyramid):
         hl, wl = corr.shape[1:3]

@@ -1,14 +1,22 @@
 """Modulated deformable convolution v2 (torchvision ``deform_conv2d``
 semantics), TPU-native.
 
-Two formulations, identical math:
+Three formulations, identical math, measured dispatch (v5e, ProPainter
+feat-prop shape (1,60,108,128) G=16, tools/exp_deform.py):
 
-- **general** (`_deform_general`): every kernel tap bilinearly sampled
-  at its offset position (4 vectorized gathers), modulated by the mask,
-  one (K*K*C_in, C_out) MXU matmul. Works for arbitrary offsets —
-  but costs 4*K2*G gather indices per pixel, and TPU gathers pay
-  per-index: measured ~25 ms per recurrence step in the ProPainter
-  feat-prop module (the pipeline's dominant cost).
+- **footprint** (`_deform_footprint`, default for bf16): ONE (2, 2, cg)
+  footprint gather per sample instead of four corner gathers — TPU
+  gathers pay per index, and this is 4x fewer indices. 18.5 ms bf16
+  (vs 32.2 for 4-corner bf16); 22.1 f32. (A Pallas on-chip gather was
+  probed and does NOT lower: Mosaic rejects dynamic sublane gathers,
+  2026-08.)
+
+- **general** (`_deform_general`, default for f32): every kernel tap
+  bilinearly sampled at its offset position (4 vectorized gathers),
+  modulated by the mask, one (K*K*C_in, C_out) MXU matmul. 19.7 ms f32.
+  Also the oracle the other formulations are equality-tested against.
+  Sample positions are always computed in f32: bf16 positions lose
+  half-pixels past |x|~128, wrong whole pixels past 256.
 
 - **bounded-offset patch path** (`_deform_patch`): the zoo's only users
   (flow-guided alignment, propainter_rfc.py:58) produce
@@ -69,8 +77,93 @@ def deform_conv2d(x, offset, mask, kernel, bias: Optional[jnp.ndarray] = None,
         if x.shape[1] >= P and x.shape[2] >= P:
             return _deform_patch(x, offset, mask, kernel, bias,
                                  deform_groups, center, residue_bound, P)
+    # Measured dispatch (v5e, tools/exp_deform.py, feat-prop shape):
+    # bf16 -> footprint (18.5 vs 32.2 ms), f32 -> 4-corner (19.7 vs 22.1).
+    if x.dtype == jnp.bfloat16:
+        return _deform_footprint(x, offset, mask, kernel, bias, stride,
+                                 padding, deform_groups)
     return _deform_general(x, offset, mask, kernel, bias, stride,
                            padding, deform_groups)
+
+
+def _deform_footprint(x, offset, mask, kernel, bias, stride, padding,
+                      deform_groups):
+    """General-offset path via ONE (2, 2, cg) footprint gather per sample
+    instead of four corner gathers — 4x fewer gather indices, and TPU
+    gathers pay per index (measured v5e, ProPainter feat-prop shape
+    (1,60,108,128) G=16: 18.4 ms bf16 / 22.1 f32 vs 32.3 / 23.6 for the
+    4-corner path; tools/exp_deform.py). Identical math: out-of-image
+    corners contribute zero via weight masking."""
+    b, hin, win, c = x.shape
+    kh, kw, cin, cout = kernel.shape
+    assert cin == c
+    k2 = kh * kw
+    g = deform_groups
+    cg = c // g
+    _, hout, wout, _ = offset.shape
+    n = hout * wout
+
+    off = offset.astype(jnp.float32).reshape(b, hout, wout, g, k2, 2)
+    m = mask.reshape(b, hout, wout, g, k2)
+
+    base_y = jnp.arange(hout, dtype=jnp.float32) * stride - padding
+    base_x = jnp.arange(wout, dtype=jnp.float32) * stride - padding
+    ky, kx = np.meshgrid(np.arange(kh), np.arange(kw), indexing="ij")
+    ky = jnp.asarray(ky.reshape(-1), jnp.float32)
+    kx = jnp.asarray(kx.reshape(-1), jnp.float32)
+
+    py = base_y[None, :, None, None, None] + ky[None, None, None, None, :] \
+        + off[..., 0]                               # (B, Ho, Wo, G, K2)
+    px = base_x[None, None, :, None, None] + kx[None, None, None, None, :] \
+        + off[..., 1]
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    fy = py - y0
+    fx = px - x0
+
+    xg = x.reshape(b, hin, win, g, cg).transpose(0, 3, 1, 2, 4)
+    # pad by 1 so a (2,2) footprint based at clip(y0, -1..hin-1)+1 stays
+    # in range; out-of-image corners are zeroed by the weights below.
+    xp = jnp.pad(xg, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)))
+
+    ys = jnp.clip(y0, -1, hin - 1).astype(jnp.int32) + 1
+    xs = jnp.clip(x0, -1, win - 1).astype(jnp.int32) + 1
+    starts = jnp.stack([ys, xs], axis=-1)           # (B,Ho,Wo,G,K2,2)
+    starts = starts.transpose(0, 3, 1, 2, 4, 5).reshape(b, g, n * k2, 2)
+
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    gather1 = lambda op, st: jax.lax.gather(
+        op, st, dn, slice_sizes=(2, 2, cg), mode="clip")
+    foot = jax.vmap(jax.vmap(gather1))(xp, starts)  # (B,G,NK2,2,2,cg)
+
+    def wcorner(dy, dx):
+        yy = y0 + dy
+        xx = x0 + dx
+        valid = (yy >= 0) & (yy < hin) & (xx >= 0) & (xx < win)
+        wy = (1.0 - fy) if dy == 0 else fy
+        wx = (1.0 - fx) if dx == 0 else fx
+        w = wy * wx * valid.astype(jnp.float32)
+        return w.transpose(0, 3, 1, 2, 4).reshape(
+            b, g, n * k2)[..., None].astype(x.dtype)
+
+    out = (foot[:, :, :, 0, 0] * wcorner(0, 0) +
+           foot[:, :, :, 0, 1] * wcorner(0, 1) +
+           foot[:, :, :, 1, 0] * wcorner(1, 0) +
+           foot[:, :, :, 1, 1] * wcorner(1, 1))
+    mm = m.transpose(0, 3, 1, 2, 4).reshape(b, g, n * k2)
+    out = out * mm[..., None].astype(x.dtype)
+
+    # (B, G, N*K2, cg) -> tap-major (K2, C) to match HWIO flatten
+    out = out.reshape(b, g, n, k2, cg).transpose(0, 2, 3, 1, 4)
+    out = out.reshape(b, hout, wout, k2 * c)
+    w = kernel.reshape(k2 * c, cout)
+    res = out @ w
+    if bias is not None:
+        res = res + bias
+    return res
 
 
 def _deform_patch(x, offset, mask, kernel, bias, deform_groups, center,
@@ -148,14 +241,17 @@ def _deform_general(x, offset, mask, kernel, bias, stride, padding,
     cg = c // g
     _, hout, wout, _ = offset.shape
 
-    off = offset.reshape(b, hout, wout, g, k2, 2)
+    # Positions in f32 regardless of data dtype: bf16 loses whole pixels
+    # past |x| ~ 256 (and half-pixels past 128), which at streaming
+    # resolutions turns flow-guided offsets into wrong-pixel samples.
+    off = offset.astype(jnp.float32).reshape(b, hout, wout, g, k2, 2)
     m = mask.reshape(b, hout, wout, g, k2)
 
-    base_y = jnp.arange(hout, dtype=x.dtype) * stride - padding
-    base_x = jnp.arange(wout, dtype=x.dtype) * stride - padding
+    base_y = jnp.arange(hout, dtype=jnp.float32) * stride - padding
+    base_x = jnp.arange(wout, dtype=jnp.float32) * stride - padding
     ky, kx = np.meshgrid(np.arange(kh), np.arange(kw), indexing="ij")
-    ky = jnp.asarray(ky.reshape(-1), x.dtype)
-    kx = jnp.asarray(kx.reshape(-1), x.dtype)
+    ky = jnp.asarray(ky.reshape(-1), jnp.float32)
+    kx = jnp.asarray(kx.reshape(-1), jnp.float32)
 
     # (B, Ho, Wo, G, K2) sample positions
     py = base_y[None, :, None, None, None] + ky[None, None, None, None, :] \
@@ -189,7 +285,7 @@ def _deform_general(x, offset, mask, kernel, bias, stride, padding,
 
     def wgt(a):
         return a.transpose(0, 1, 2, 4, 3).reshape(
-            b, hout * wout * k2, g)[..., None]
+            b, hout * wout * k2, g)[..., None].astype(x.dtype)
 
     sampled = (v00 * wgt((1 - wy) * (1 - wx)) +
                v01 * wgt((1 - wy) * wx) +

@@ -460,8 +460,11 @@ def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     XLA lowers to dynamic-gathers — the TPU-friendly formulation.
     """
     b, h, w, c = x.shape
-    gx = grid[..., 0]
-    gy = grid[..., 1]
+    # Coordinate math in f32 regardless of data dtype: a bf16 normalized
+    # grid quantizes to ~2^-8 of [-1, 1], i.e. ~1 px at W=432 — whole
+    # wrong pixels at streaming resolutions.
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
     if align_corners:
         fx = (gx + 1.0) * 0.5 * (w - 1)
         fy = (gy + 1.0) * 0.5 * (h - 1)
@@ -494,7 +497,7 @@ def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     v01 = gather(x0 + 1, y0)
     v10 = gather(x0, y0 + 1)
     v11 = gather(x0 + 1, y0 + 1)
-    wx = wx[..., None]
-    wy = wy[..., None]
+    wx = wx[..., None].astype(x.dtype)
+    wy = wy[..., None].astype(x.dtype)
     return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
             v10 * (1 - wx) * wy + v11 * wx * wy)

@@ -43,6 +43,29 @@ def test_deform_conv2d_matches_torch_oracle():
     assert err < 1e-4
 
 
+def test_deform_footprint_equals_general():
+    """The default footprint formulation (one (2,2,cg) gather per sample)
+    vs the 4-corner oracle, over strides/paddings and far-OOB offsets."""
+    import jax.numpy as jnp
+    from pytorchcv_tpu.nn.deform import _deform_footprint, _deform_general
+
+    rs = np.random.RandomState(1)
+    for stride, padding in [(1, 1), (2, 1), (1, 2)]:
+        B, C, H, W, G, K, O = 1, 16, 10, 14, 4, 3, 8
+        Ho = (H + 2 * padding - K) // stride + 1
+        Wo = (W + 2 * padding - K) // stride + 1
+        x = jnp.asarray(rs.randn(B, H, W, C), jnp.float32)
+        offset = jnp.asarray(rs.randn(B, Ho, Wo, 2 * G * K * K) * 6,
+                             jnp.float32)
+        mask = jnp.asarray(rs.rand(B, Ho, Wo, G * K * K), jnp.float32)
+        w = jnp.asarray(rs.randn(K, K, C, O) * 0.1, jnp.float32)
+        bias = jnp.asarray(rs.randn(O), jnp.float32)
+        a = _deform_general(x, offset, mask, w, bias, stride, padding, G)
+        b = _deform_footprint(x, offset, mask, w, bias, stride, padding, G)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, err_msg=f"s{stride} p{padding}")
+
+
 def _convert(model, ref):
     import jax
     import jax.numpy as jnp
