@@ -61,6 +61,11 @@ class Model:
     name: str
     module: nn.Module
     variables: Optional[Dict[str, Any]] = None
+    # Inference input policy: float32 array inputs are cast to this dtype
+    # inside the jitted call (set by as_bfloat16). Without it, one f32
+    # input silently promotes every downstream activation back to f32 —
+    # bf16 params alone only halve weight traffic, not MXU rate.
+    input_cast: Optional[Any] = None
 
     @property
     def in_size(self) -> Tuple[int, int]:
@@ -165,10 +170,20 @@ class Model:
         key = (is_arr, statics)
         fn = self._infer_cache.get(key)
         if fn is None:
+            cast = self.input_cast
+
+            def maybe_cast(tree):
+                if cast is None:
+                    return tree
+                return jax.tree_util.tree_map(
+                    lambda a: a.astype(cast)
+                    if getattr(a, "dtype", None) == jnp.float32 else a,
+                    tree)
+
             def reassemble(variables, *dynamic):
                 it_d = iter(dynamic)
                 it_s = iter(statics)
-                full = [next(it_d) if arr else next(it_s)
+                full = [maybe_cast(next(it_d)) if arr else next(it_s)
                         for arr in is_arr]
                 return self.module.apply(variables, *full, train=False)
             fn = jax.jit(reassemble)
@@ -227,7 +242,14 @@ class Model:
             return x
 
         variables = dict(self.variables)
-        if "params" in variables:     # parameterless models (propainter_ip)
+        has_params = bool(jax.tree_util.tree_leaves(
+            variables.get("params", {})))
+        if has_params:
             variables["params"] = jax.tree_util.tree_map_with_path(
                 cast, variables["params"])
-        return dataclasses.replace(self, variables=variables)
+        # Parameterless models (propainter_ip) stay f32: they are pure
+        # gather/blend programs and f32 gathers measured FASTER than bf16
+        # on v5e (383 vs 309 ms for the 24-frame propagation stage).
+        return dataclasses.replace(
+            self, variables=variables,
+            input_cast=jnp.bfloat16 if has_params else None)

@@ -127,9 +127,15 @@ class DANet(Composed):
     num_classes: int = 19
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        """``from_features=True``: ``x`` is the backbone output tuple —
+        head-only entry for the int8 serving pipeline
+        (quant/seg_backbone_int8.py)."""
+        assert self.fixed_size or not from_features, \
+            "from_features requires fixed_size (static upsample target)"
         in_size = self.in_size if self.fixed_size else x.shape[1:3]
-        outs = self.adopt_call(self.backbone, x, train=train)
+        outs = x if from_features else \
+            self.adopt_call(self.backbone, x, train=train)
         x = outs[0]
         x, y, z = DANetHead(out_channels=self.num_classes,
                             name="head")(x, train=train)

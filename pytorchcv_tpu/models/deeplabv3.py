@@ -100,11 +100,17 @@ class DeepLabv3(Composed):
     num_classes: int = 21
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        """``from_features=True``: ``x`` is the backbone output tuple
+        (stage4, stage3-bend) — head-only entry for the int8 serving
+        pipeline (quant/seg_backbone_int8.py)."""
+        assert self.fixed_size or not from_features, \
+            "from_features requires fixed_size (static upsample target)"
         in_size = self.in_size if self.fixed_size else x.shape[1:3]
         pool_out_size = ((self.in_size[0] // 8, self.in_size[1] // 8)
                          if self.fixed_size else None)
-        outs = self.adopt_call(self.backbone, x, train=train)
+        outs = x if from_features else \
+            self.adopt_call(self.backbone, x, train=train)
         x, y = outs[0], outs[1]
         x = AtrousSpatialPyramidPooling(
             in_channels=self.backbone_out_channels,

@@ -49,9 +49,15 @@ class FCN8sd(Composed):
     num_classes: int = 21
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        """``from_features=True``: ``x`` is the backbone output tuple
+        (stage4, stage3-bend) — head-only entry for the int8 serving
+        pipeline (quant/seg_backbone_int8.py)."""
+        assert self.fixed_size or not from_features, \
+            "from_features requires fixed_size (static upsample target)"
         in_size = self.in_size if self.fixed_size else x.shape[1:3]
-        outs = self.adopt_call(self.backbone, x, train=train)
+        outs = x if from_features else \
+            self.adopt_call(self.backbone, x, train=train)
         x, y = outs[0], outs[1]
         x = FCNFinalBlock(out_channels=self.num_classes,
                           name="final_block")(x, in_size, train=train)

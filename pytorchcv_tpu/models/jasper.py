@@ -104,6 +104,11 @@ class NemoMelSpecExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, x, x_len, train: bool = False):
+        # Waveform math in f32 regardless of the serving dtype: bf16
+        # audio is ~8-bit-relative amplitude. Features return in the
+        # caller's dtype (normalized O(1) values are bf16-safe).
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
         win_length = int(self.window_size_sec * self.sample_rate)
         hop_length = int(self.window_stride_sec * self.sample_rate)
         x_len = jnp.ceil(x_len.astype(jnp.float32) / hop_length).astype(
@@ -141,7 +146,7 @@ class NemoMelSpecExtractor(nn.Module):
         rem = mel.shape[1] % pad_align
         if rem != 0:
             mel = jnp.pad(mel, ((0, 0), (0, pad_align - rem), (0, 0)))
-        return mel, x_len
+        return mel.astype(orig_dtype), x_len
 
 
 class CtcDecoder:

@@ -105,12 +105,19 @@ class PSPNet(Composed):
     num_classes: int = 21
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        """``from_features=True``: ``x`` is the backbone's output tuple
+        (stage4, stage3-bend) — the head-only entry the int8 serving
+        pipeline composes with its quantized backbone
+        (quant/seg_backbone_int8.py)."""
+        assert self.fixed_size or not from_features, \
+            "from_features requires fixed_size (static upsample target)"
         in_size = self.in_size if self.fixed_size else x.shape[1:3]
         pool_out_size = ((self.in_size[0] // 8, self.in_size[1] // 8)
                          if self.fixed_size else None)
-        outs = self.adopt_call(self.backbone, x, train=train)
-        x, y = outs[0], outs[1]
+        outs = x if from_features else \
+            self.adopt_call(self.backbone, x, train=train)
+        x, y = outs[0], outs[1]  # noqa: F841 (y = stage-3 bend, aux head)
         x = PyramidPooling(self.backbone_out_channels, pool_out_size,
                            name="pool")(x, train=train)
         x = PSPFinalBlock(out_channels=self.num_classes,

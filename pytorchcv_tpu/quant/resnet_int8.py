@@ -44,25 +44,28 @@ def _cell_consts(cell_params, cell_stats):
     return {"wq": wq, "gain": s_w * g, "bias": beta - mean * g}
 
 
-def _conv_i8(xq, wq, stride, padding=None):
+def _conv_i8(xq, wq, stride, padding=None, dilation=1):
     k = wq.shape[0]
-    pad = [(k // 2, k // 2)] * 2 if padding is None else padding
+    pad = [(dilation * (k // 2),) * 2] * 2 if padding is None else padding
     groups = xq.shape[-1] // wq.shape[2]     # ResNeXt grouped conv2
     return jax.lax.conv_general_dilated(
         xq, wq, window_strides=(stride, stride), padding=pad,
+        rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups,
         preferred_element_type=jnp.int32)
 
 
 def _cell(xq, s_in, cell, stride=1, relu=True,
-          s_out: Optional[float] = None, out_dtype=jnp.bfloat16):
+          s_out: Optional[float] = None, out_dtype=jnp.bfloat16,
+          dilation=1):
     """int8 conv + folded BN (+ ReLU) (+ requant to int8 with amax s_out).
 
     ``xq``: int8, quantized with amax ``s_in``. Returns int8 when
     ``s_out`` is given, else ``out_dtype``.
     """
-    y = _conv_i8(xq, cell["wq"], stride).astype(jnp.float32)
+    y = _conv_i8(xq, cell["wq"], stride,
+                 dilation=dilation).astype(jnp.float32)
     y = y * (cell["gain"] * (s_in / 127.0)) + cell["bias"]
     if relu:
         y = jnp.maximum(y, 0.0)

@@ -126,7 +126,7 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                     mode: str = "auto", task: str = "classification",
                     calib_batches: Optional[Sequence] = None,
                     mesh=None, shard: str = "data",
-                    pretrained: bool = False) -> Callable:
+                    pretrained: bool = False, **model_kwargs) -> Callable:
     """Build a jitted ``uint8 (B, H, W, 3) -> outputs`` closure.
 
     ``mode``:
@@ -159,7 +159,7 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     and XLA inserts the conv halo exchanges automatically. The source
     H must be divisible by the mesh axis size (pad the frame if not).
     """
-    model = get_model(model_name, pretrained=pretrained)
+    model = get_model(model_name, pretrained=pretrained, **model_kwargs)
     from .kernels.preprocess import (classification_preprocess,
                                      segmentation_preprocess)
 
@@ -179,7 +179,28 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
 
     use_int8 = mode in ("auto", "int8")
     infer = None
-    if use_int8 and _is_plain_resnet(model.variables):
+    if use_int8 and task == "segmentation":
+        import inspect
+        from .quant.seg_backbone_int8 import (is_seg_resnetd_backbone,
+                                              prepare_int8_seg_backbone)
+        head_ok = "from_features" in inspect.signature(
+            type(model.module).__call__).parameters
+        if head_ok and is_seg_resnetd_backbone(model.variables):
+            # Dense prediction is compute-bound at the bf16 FLOP roof
+            # (STATUS.md: pspnet 425 img/s at 99% roofline) — the int8
+            # backbone is the 2x lever; the head stays bf16 and consumes
+            # the backbone outputs via from_features=True.
+            scales = _calibrate(model, calib_batches, pre, source_hw)
+            bfn, qtree = prepare_int8_seg_backbone(model, scales)
+            bf = model.as_bfloat16()
+            head_vars = bf.variables
+            head = bf.module
+
+            def infer(x):
+                outs = bfn(qtree, x)
+                return head.apply(head_vars, tuple(outs), train=False,
+                                  from_features=True)
+    if infer is None and use_int8 and _is_plain_resnet(model.variables):
         from .quant.resnet_int8 import prepare_int8_resnet
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_resnet(model, scales)

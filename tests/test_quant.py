@@ -293,3 +293,46 @@ class TestSpaceToDepthStem:
             preferred_element_type=jnp.int32)
         np.testing.assert_array_equal(np.asarray(direct),
                                       np.asarray(blocked))
+
+
+class TestSegBackboneInt8:
+    def test_seg_backbone_int8_parity(self):
+        """int8-storage dilated resnetd backbone + bf16 head vs the f32
+        model (quant/seg_backbone_int8.py): per-pixel argmax agreement."""
+        import pytorchcv_tpu as ptc
+        from pytorchcv_tpu.quant import calibrate_int8
+        from pytorchcv_tpu.quant.seg_backbone_int8 import (
+            is_seg_resnetd_backbone, prepare_int8_seg_backbone)
+
+        model = ptc.get_model("pspnet_resnetd50b_voc", in_size=(64, 64),
+                              aux=False)
+        assert is_seg_resnetd_backbone(model.variables)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.rand(2, 64, 64, 3) * 2 - 1, jnp.float32)
+        scales = calibrate_int8(model, [x])
+        fn, qtree = prepare_int8_seg_backbone(model, scales)
+        o4, o3 = jax.jit(fn)(qtree, x)
+        out = model.module.apply(
+            model.variables,
+            (o4.astype(jnp.float32), o3.astype(jnp.float32)),
+            train=False, from_features=True)
+        ref = model(x)
+        agree = float((jnp.argmax(out, -1) == jnp.argmax(ref, -1)).mean())
+        assert agree > 0.97, agree
+        # non-seg trees are rejected
+        assert not is_seg_resnetd_backbone(
+            ptc.get_model("resnet10", in_size=(64, 64)).variables)
+
+    def test_seg_serving_routes_int8_auto(self):
+        """make_serving_fn auto mode routes resnetd-backed seg heads to
+        the int8 backbone and yields sane maps."""
+        from pytorchcv_tpu.serve import make_serving_fn
+        serve = make_serving_fn("deeplabv3_resnetd50b_voc",
+                                source_hw=(72, 72), task="segmentation",
+                                mode="auto", aux=False, in_size=(64, 64))
+        raw = np.random.RandomState(1).randint(0, 256, (2, 72, 72, 3),
+                                               np.uint8)
+        out = serve(jnp.asarray(raw))
+        main = out[0] if isinstance(out, (tuple, list)) else out
+        assert main.shape == (2, 64, 64, 21)
+        assert bool(jnp.all(jnp.isfinite(main.astype(jnp.float32))))
