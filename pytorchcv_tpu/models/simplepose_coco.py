@@ -35,8 +35,12 @@ class SimplePose(Composed):
         return self.keypoints
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = self.adopt_call(self.backbone, x, train=train)
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        """``from_features=True``: ``x`` is the backbone feature map —
+        head-only entry for the int8 serving pipeline
+        (quant/seg_backbone_int8.py)."""
+        if not from_features:
+            x = self.adopt_call(self.backbone, x, train=train)
         units = [DeconvBlock(out_channels=c, kernel_size=4, stride=2,
                              padding=1, name=f"unit{i + 1}", parent=None)
                  for i, c in enumerate(self.channels)]

@@ -200,6 +200,23 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                 outs = bfn(qtree, x)
                 return head.apply(head_vars, tuple(outs), train=False,
                                   from_features=True)
+    if infer is None and use_int8 and task == "pose":
+        import inspect
+        from .quant.seg_backbone_int8 import (is_pose_resnet_backbone,
+                                              prepare_int8_pose_backbone)
+        head_ok = "from_features" in inspect.signature(
+            type(model.module).__call__).parameters
+        if head_ok and is_pose_resnet_backbone(model.variables):
+            scales = _calibrate(model, calib_batches, pre, source_hw)
+            bfn, qtree = prepare_int8_pose_backbone(model, scales)
+            bf = model.as_bfloat16()
+            head_vars = bf.variables
+            head = bf.module
+
+            def infer(x):
+                feat = bfn(qtree, x)
+                return head.apply(head_vars, feat, train=False,
+                                  from_features=True)
     if infer is None and use_int8 and _is_plain_resnet(model.variables):
         from .quant.resnet_int8 import prepare_int8_resnet
         scales = _calibrate(model, calib_batches, pre, source_hw)

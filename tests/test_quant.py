@@ -336,3 +336,32 @@ class TestSegBackboneInt8:
         main = out[0] if isinstance(out, (tuple, list)) else out
         assert main.shape == (2, 64, 64, 21)
         assert bool(jnp.all(jnp.isfinite(main.astype(jnp.float32))))
+
+    def test_pose_backbone_int8_parity(self):
+        """int8 plain resnet-b pose trunk + bf16 decoder vs f32 heatmaps
+        (basic and bottleneck blocks)."""
+        import pytorchcv_tpu as ptc
+        from pytorchcv_tpu.quant import calibrate_int8
+        from pytorchcv_tpu.quant.seg_backbone_int8 import (
+            is_pose_resnet_backbone, prepare_int8_pose_backbone)
+
+        for name in ("simplepose_resnet18_coco", "simplepose_resnet50b_coco"):
+            model = ptc.get_model(name, in_size=(64, 48),
+                                  return_heatmap=True)
+            assert is_pose_resnet_backbone(model.variables), name
+            rs = np.random.RandomState(0)
+            x = jnp.asarray(rs.rand(2, 64, 48, 3) * 2 - 1, jnp.float32)
+            scales = calibrate_int8(model, [x])
+            fn, qtree = prepare_int8_pose_backbone(model, scales)
+            feat = jax.jit(fn)(qtree, x)
+            out = model.module.apply(model.variables,
+                                     feat.astype(jnp.float32),
+                                     train=False, from_features=True)
+            ref = model(x)
+            cos = float(jnp.sum(out * ref) /
+                        (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+            assert cos > 0.995, (name, cos)
+        # avg-pool-downsample (resneta) trunks are rejected
+        assert not is_pose_resnet_backbone(
+            ptc.get_model("simplepose_resneta50b_coco",
+                          in_size=(64, 48)).variables)

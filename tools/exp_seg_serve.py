@@ -63,6 +63,19 @@ def main():
                 print(f"{name:28s} b{batch:<3d} {mode:5s} "
                       f"{s*1e3:8.2f} ms  {batch/s:8.1f} img/s", flush=True)
 
+    # Pose: int8 plain trunk + bf16 deconv decoder + heatmap decode.
+    for batch in (64, 128):
+        raw = jnp.asarray(
+            rs.randint(0, 256, (batch, 256, 192, 3)), jnp.uint8)
+        for mode in ("auto", "bf16"):
+            serve = make_serving_fn("simplepose_resnet50b_coco",
+                                    source_hw=(256, 192), task="pose",
+                                    mode=mode)
+            s = time_fn(serve, raw)
+            print(f"{'simplepose_resnet50b_coco':28s} b{batch:<3d} "
+                  f"{mode:5s} {s*1e3:8.2f} ms  {batch/s:8.1f} img/s",
+                  flush=True)
+
 
 if __name__ == "__main__":
     main()
