@@ -125,8 +125,12 @@ class CenterNet(Composed):
     num_classes: int = 80
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = self.adopt_call(self.backbone, x, train=train)
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        """``from_features=True``: ``x`` is the backbone feature map —
+        head-only entry for the int8 serving pipeline
+        (quant/seg_backbone_int8.py)."""
+        if not from_features:
+            x = self.adopt_call(self.backbone, x, train=train)
         units = [CenterNetDecoderUnit(out_channels=oc, name=f"unit{i + 1}",
                                       parent=None)
                  for i, oc in enumerate(self.channels)]

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from .resnet_int8 import (_EPS, _cell, _maxpool_i8, _quant, _quantize_tree)
 
 __all__ = ["is_seg_resnetd_backbone", "prepare_int8_seg_backbone",
-           "is_pose_resnet_backbone", "prepare_int8_pose_backbone"]
+           "is_plain_resnet_trunk", "prepare_int8_plain_trunk"]
 
 
 def is_seg_resnetd_backbone(variables) -> bool:
@@ -196,9 +196,10 @@ def prepare_int8_seg_backbone(model, scales: Dict[str, float]
                           bend_stage=3)
 
 
-def is_pose_resnet_backbone(variables) -> bool:
-    """True for SimplePose's plain positional resnet-b trunk (7x7 stem,
-    no dilation, no SE; reference simplepose_coco.py:92)."""
+def is_plain_resnet_trunk(variables) -> bool:
+    """True for a plain positional resnet(-b) trunk (7x7 stem, no
+    dilation, no SE) — SimplePose (simplepose_coco.py:92) and CenterNet
+    (centernet.py:156) backbones."""
     p = variables.get("params", {})
     bb = p.get("backbone")
     if not isinstance(bb, dict) or set(bb) != {"0", "1", "2", "3", "4"}:
@@ -227,9 +228,9 @@ def is_pose_resnet_backbone(variables) -> bool:
     return "backbone" in variables.get("batch_stats", {})
 
 
-def prepare_int8_pose_backbone(model, scales: Dict[str, float]
+def prepare_int8_plain_trunk(model, scales: Dict[str, float]
                                ) -> Tuple[Callable, Dict]:
-    """Quantize the plain pose trunk once; return ``(fn, qtree)`` with
+    """Quantize a plain resnet trunk once; return ``(fn, qtree)`` with
     ``fn(qtree, x_bf16) -> stage4 features`` (bf16)."""
     fn2, qtree = _prepare_trunk(model, scales, _unit_geometry_plain,
                                 bend_stage=None)

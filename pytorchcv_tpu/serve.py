@@ -200,15 +200,15 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                 outs = bfn(qtree, x)
                 return head.apply(head_vars, tuple(outs), train=False,
                                   from_features=True)
-    if infer is None and use_int8 and task == "pose":
+    if infer is None and use_int8 and task in ("pose", "detection"):
         import inspect
-        from .quant.seg_backbone_int8 import (is_pose_resnet_backbone,
-                                              prepare_int8_pose_backbone)
+        from .quant.seg_backbone_int8 import (is_plain_resnet_trunk,
+                                              prepare_int8_plain_trunk)
         head_ok = "from_features" in inspect.signature(
             type(model.module).__call__).parameters
-        if head_ok and is_pose_resnet_backbone(model.variables):
+        if head_ok and is_plain_resnet_trunk(model.variables):
             scales = _calibrate(model, calib_batches, pre, source_hw)
-            bfn, qtree = prepare_int8_pose_backbone(model, scales)
+            bfn, qtree = prepare_int8_plain_trunk(model, scales)
             bf = model.as_bfloat16()
             head_vars = bf.variables
             head = bf.module

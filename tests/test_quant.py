@@ -343,16 +343,16 @@ class TestSegBackboneInt8:
         import pytorchcv_tpu as ptc
         from pytorchcv_tpu.quant import calibrate_int8
         from pytorchcv_tpu.quant.seg_backbone_int8 import (
-            is_pose_resnet_backbone, prepare_int8_pose_backbone)
+            is_plain_resnet_trunk, prepare_int8_plain_trunk)
 
         for name in ("simplepose_resnet18_coco", "simplepose_resnet50b_coco"):
             model = ptc.get_model(name, in_size=(64, 48),
                                   return_heatmap=True)
-            assert is_pose_resnet_backbone(model.variables), name
+            assert is_plain_resnet_trunk(model.variables), name
             rs = np.random.RandomState(0)
             x = jnp.asarray(rs.rand(2, 64, 48, 3) * 2 - 1, jnp.float32)
             scales = calibrate_int8(model, [x])
-            fn, qtree = prepare_int8_pose_backbone(model, scales)
+            fn, qtree = prepare_int8_plain_trunk(model, scales)
             feat = jax.jit(fn)(qtree, x)
             out = model.module.apply(model.variables,
                                      feat.astype(jnp.float32),
@@ -362,6 +362,38 @@ class TestSegBackboneInt8:
                         (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
             assert cos > 0.995, (name, cos)
         # avg-pool-downsample (resneta) trunks are rejected
-        assert not is_pose_resnet_backbone(
+        assert not is_plain_resnet_trunk(
             ptc.get_model("simplepose_resneta50b_coco",
                           in_size=(64, 48)).variables)
+
+    def test_centernet_trunk_int8_parity(self):
+        """int8 plain trunk under the CenterNet decoder heads; auto
+        serve routing for task='detection'."""
+        import pytorchcv_tpu as ptc
+        from pytorchcv_tpu.quant import calibrate_int8
+        from pytorchcv_tpu.quant.seg_backbone_int8 import (
+            is_plain_resnet_trunk, prepare_int8_plain_trunk)
+
+        model = ptc.get_model("centernet_resnet18_voc", in_size=(128, 128),
+                              return_heatmap=True)
+        assert is_plain_resnet_trunk(model.variables)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.rand(2, 128, 128, 3) * 2 - 1, jnp.float32)
+        scales = calibrate_int8(model, [x])
+        fn, qtree = prepare_int8_plain_trunk(model, scales)
+        feat = jax.jit(fn)(qtree, x)
+        out = model.module.apply(model.variables, feat.astype(jnp.float32),
+                                 train=False, from_features=True)
+        ref = model(x)
+        cos = float(jnp.sum(out * ref) /
+                    (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+        assert cos > 0.995, cos
+
+        from pytorchcv_tpu.serve import make_serving_fn
+        sv = make_serving_fn("centernet_resnet18_voc", source_hw=(140, 140),
+                             task="detection", mode="auto",
+                             in_size=(128, 128))
+        raw = np.random.RandomState(1).randint(0, 256, (2, 140, 140, 3),
+                                               np.uint8)
+        dets = sv(jnp.asarray(raw))
+        assert np.asarray(dets).shape == (2, 40, 6)
