@@ -29,8 +29,12 @@ class AlphaPose(Composed):
     keypoints: int = 17
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = self.adopt_call(self.backbone, x, train=train)
+    def __call__(self, x, train: bool = False, from_features: bool = False):
+        """``from_features=True``: ``x`` is the backbone feature map —
+        head-only entry for the int8 serving pipeline
+        (quant/seg_backbone_int8.py)."""
+        if not from_features:
+            x = self.adopt_call(self.backbone, x, train=train)
         decoder = [lambda t: pixel_shuffle(t, 2)]
         for i, out_channels in enumerate(self.channels):
             decoder.append(DucBlock(out_channels=out_channels,

@@ -25,7 +25,8 @@ from typing import Callable, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .resnet_int8 import (_EPS, _cell, _maxpool_i8, _quant, _quantize_tree)
+from .resnet_int8 import (_EPS, _cell, _maxpool_i8, _quant,
+                          _quantize_tree, _se_gate)
 
 __all__ = ["is_seg_resnetd_backbone", "prepare_int8_seg_backbone",
            "is_plain_resnet_trunk", "prepare_int8_plain_trunk"]
@@ -139,6 +140,8 @@ def _forward(qtree, x, scales, geometry, bend_stage=None):
                           sc(f"{prefix}/conv2/conv"))
                 t = _cell(t, sc(f"{prefix}/conv2/conv"), body["conv2"], 1,
                           False)
+            if "se" in uq:
+                t = _se_gate(t, uq["se"])
             if "identity_conv" in uq:
                 if s_next is not None:
                     # int8 identity at the unit output scale (the one
@@ -214,7 +217,10 @@ def is_plain_resnet_trunk(variables) -> bool:
             return False
         for unit in stage.values():
             body = unit.get("body") if isinstance(unit, dict) else None
-            if not body or "se" in unit or "identity_block" in unit:
+            if not body or "identity_block" in unit:
+                return False
+            if "se" in unit and not ({"conv1", "conv2"} <= set(unit["se"])
+                                     or {"fc1", "fc2"} <= set(unit["se"])):
                 return False
             cell = body.get("conv1")
             if not (isinstance(cell, dict) and "conv" in cell

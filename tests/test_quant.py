@@ -397,3 +397,28 @@ class TestSegBackboneInt8:
                                                np.uint8)
         dets = sv(jnp.asarray(raw))
         assert np.asarray(dets).shape == (2, 40, 6)
+
+    def test_alphapose_se_trunk_int8_parity(self):
+        """SE units inside the plain int8 trunk (alphapose's
+        fastseresnet101b): gate on the bf16 pre-add tensor."""
+        import pytorchcv_tpu as ptc
+        from pytorchcv_tpu.quant import calibrate_int8
+        from pytorchcv_tpu.quant.seg_backbone_int8 import (
+            is_plain_resnet_trunk, prepare_int8_plain_trunk)
+
+        model = ptc.get_model("alphapose_fastseresnet101b_coco",
+                              in_size=(64, 48), return_heatmap=True)
+        assert is_plain_resnet_trunk(model.variables)
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.rand(2, 64, 48, 3) * 2 - 1, jnp.float32)
+        scales = calibrate_int8(model, [x])
+        fn, qtree = prepare_int8_plain_trunk(model, scales)
+        feat = jax.jit(fn)(qtree, x)
+        out = model.module.apply(model.variables, feat.astype(jnp.float32),
+                                 train=False, from_features=True)
+        ref = model(x)
+        cos = float(jnp.sum(out * ref) /
+                    (jnp.linalg.norm(out) * jnp.linalg.norm(ref)))
+        # 101 random-init layers accumulate more quant noise than the
+        # 18/50-layer cases (>0.995); trained weights behave better.
+        assert cos > 0.99, cos
