@@ -60,6 +60,16 @@ def _is_dense_call(mod, method_name: str, args) -> bool:
             and args and hasattr(args[0], "ndim") and args[0].ndim == 2)
 
 
+def _is_conv1d_call(mod, method_name: str, args) -> bool:
+    # 1D (NWC) conv inputs — the ASR trunk's MaskConv1d (models/jasper.py)
+    # and the (1,)-kernel nn.Conv CTC head. Recorded for the dedicated
+    # jasper_int8 pipeline; the generic 2D quantizer never swaps these.
+    from ..models.jasper import MaskConv1d
+    return (isinstance(mod, (MaskConv1d, nn.Conv))
+            and method_name == "__call__"
+            and args and hasattr(args[0], "ndim") and args[0].ndim == 3)
+
+
 def _quantizable(mod, method_name: str, args) -> bool:
     # Calibration records every conv input; only dense (group=1) convs are
     # *swapped* to int8 by the generic quantizer — grouped/depthwise convs
@@ -84,7 +94,8 @@ def calibrate_int8(model, batches: Iterable, variables=None) -> Dict[str, float]
         def ic(next_fn, a, k, ctx):
             mod = ctx.module
             if _is_conv_call(mod, ctx.method_name, a) or \
-                    _is_dense_call(mod, ctx.method_name, a):
+                    _is_dense_call(mod, ctx.method_name, a) or \
+                    _is_conv1d_call(mod, ctx.method_name, a):
                 path = "/".join(str(p) for p in mod.path)
                 amax = jnp.max(jnp.abs(a[0].astype(jnp.float32)))
                 prev = rec.get(path)

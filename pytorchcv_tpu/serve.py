@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from .model_provider import get_model
 
-__all__ = ["make_serving_fn"]
+__all__ = ["make_serving_fn", "make_asr_serving_fn"]
 
 
 def _is_plain_resnet(variables) -> bool:
@@ -302,6 +302,63 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
     # Non-classification outputs may be pytrees (aux heads, decode
     # tuples); shard the input batch and let XLA propagate.
     return jax.jit(pipeline, in_shardings=(spec,))
+
+
+def make_asr_serving_fn(model_name: str, mode: str = "auto",
+                        calib_batches: Optional[Sequence] = None,
+                        pretrained: bool = False,
+                        **model_kwargs) -> Callable:
+    """Build a jitted ASR serving closure for the Jasper/QuartzNet zoo:
+    ``(waveform f32 (B, n_samples), lengths int32) -> (logits (B, T, 29),
+    out_lengths)`` (or mel-feature input when the model was built with
+    ``from_audio=False``).
+
+    ``mode='auto'`` routes dense-conv Jasper/JasperDR through the
+    int8-storage pipeline (``quant/jasper_int8.py`` — the trunk is the
+    zoo's heaviest compute-per-sample conv stack and carries no SE/swish
+    epilogues to erase the int8 MXU gain) and keeps QuartzNet (depthwise
+    trunk) bf16, where the depthwise-family A/Bs measured int8 a loss.
+    ``mode='bf16'`` forces bf16; ``mode='int8'`` forces the storage
+    pipeline and raises for unsupported families. The mel front-end
+    stays f32 in every mode (models/jasper.py: bf16 audio is
+    ~8-bit-relative).
+
+    ``calib_batches``: real ``(input, lengths)`` tuples for PTQ
+    calibration; by default speech-scale random inputs are pushed
+    through the model's own front-end so calibration sees the
+    deployment feature domain.
+    """
+    model = get_model(model_name, pretrained=pretrained, **model_kwargs)
+    from .quant.jasper_int8 import is_plain_jasper
+    if mode in ("auto", "int8") and is_plain_jasper(model):
+        from .quant import calibrate_int8
+        from .quant.jasper_int8 import prepare_int8_jasper
+        if calib_batches is None:
+            key = jax.random.PRNGKey(0)
+            if model.module.from_audio:
+                n = 4 * 16000
+                calib = 0.1 * jax.random.normal(key, (4, n), jnp.float32)
+                lens = jnp.full((4,), n, jnp.int32)
+            else:
+                t = 256
+                calib = 2.0 * jax.random.normal(
+                    key, (4, t, model.module.in_channels), jnp.float32)
+                lens = jnp.full((4,), t, jnp.int32)
+            calib_batches = [(calib, lens)]
+        scales = calibrate_int8(model, calib_batches)
+        fn, qtree = prepare_int8_jasper(model, scales)
+        return jax.jit(lambda x, x_len: fn(qtree, x, x_len))
+    if mode == "int8":
+        raise ValueError("int8 ASR serving covers dense-conv Jasper/"
+                         "JasperDR only (QuartzNet's depthwise trunk "
+                         "measured faster in bf16)")
+    if mode not in ("auto", "bf16"):
+        raise ValueError(f"unknown ASR serving mode '{mode}'")
+    bf = model.as_bfloat16()
+    variables = bf.variables
+    module = bf.module
+    return jax.jit(
+        lambda x, x_len: module.apply(variables, x, x_len, train=False))
 
 
 def _calibrate(model, calib_batches, pre, source_hw):

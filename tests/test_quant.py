@@ -172,6 +172,41 @@ class TestResnetInt8Pipeline:
         assert not is_darknet53_tree(
             ptc.get_model("darknet_tiny", in_size=(64, 64)).variables)
 
+    def test_jasper_int8_storage_parity(self):
+        """Jasper/JasperDR int8-storage ASR pipeline (length-masked 1D
+        convs, plain + dense residuals) vs the f32 model."""
+        from pytorchcv_tpu.model import Model
+        from pytorchcv_tpu.models.jasper import get_jasper
+        from pytorchcv_tpu.quant.jasper_int8 import (is_plain_jasper,
+                                                     prepare_int8_jasper)
+        cases = [
+            ptc.get_model("jasper5x3", from_audio=False),
+            Model(name="jasperdr5x1_test",
+                  module=get_jasper(("jasper", "5x1"), use_dr=True,
+                                    from_audio=False)).init(0),
+        ]
+        for model in cases:
+            assert is_plain_jasper(model), model.name
+            B, T, C = 2, 128, 64
+            x = 2.0 * jax.random.normal(jax.random.PRNGKey(0), (B, T, C))
+            x_len = jnp.array([T, T - 21], jnp.int32)
+            scales = calibrate_int8(model, [(x, x_len)])
+            assert "features/init_block/conv" in scales and \
+                "output" in scales, sorted(scales)[:4]
+            fn, qtree = prepare_int8_jasper(model, scales)
+            y8, l8 = jax.jit(fn)(qtree, x, x_len)
+            yf, lf = model(x, x_len)
+            assert np.array_equal(np.asarray(l8), np.asarray(lf)), model.name
+            valid = np.arange(y8.shape[1])[None, :] < np.asarray(l8)[:, None]
+            a = np.asarray(y8, np.float32)[valid].ravel()
+            b = np.asarray(yf, np.float32)[valid].ravel()
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert cos > 0.99, (model.name, cos)
+        # QuartzNet (depthwise trunk) must NOT route here: bf16 measured
+        # faster for dw families (quant/jasper_int8.py docstring).
+        assert not is_plain_jasper(
+            ptc.get_model("quartznet5x5_en_ls", from_audio=False))
+
     def test_mobilenetv3_int8_storage_parity(self):
         """MobileNetV3 int8-storage (relu/hswish mix, hsigmoid SE)."""
         from pytorchcv_tpu.quant.mobilenetv3_int8 import (

@@ -187,3 +187,30 @@ def test_dense_se_int8_pipeline():
     cos = float((got * ref).sum() /
                 (np.linalg.norm(got) * np.linalg.norm(ref) + 1e-9))
     assert cos > 0.98, cos
+
+
+def test_asr_serving_end_to_end():
+    """make_asr_serving_fn: auto routes dense-conv Jasper through the
+    int8-storage pipeline; QuartzNet stays bf16; int8 on QuartzNet
+    raises. Mel-feature input path (from_audio=False keeps the test off
+    the heavy front-end)."""
+    from pytorchcv_tpu.serve import make_asr_serving_fn
+    rs = np.random.RandomState(0)
+    x = jnp.asarray(rs.randn(2, 128, 64) * 2, jnp.float32)
+    x_len = jnp.array([128, 107], jnp.int32)
+
+    serve = make_asr_serving_fn("jasper5x3", from_audio=False)
+    logits, lens = serve(x, x_len)
+    assert logits.shape == (2, 64, 29)
+    assert np.array_equal(np.asarray(lens), [64, 54])
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
+
+    qn = make_asr_serving_fn("quartznet5x5_en_ls", from_audio=False)
+    ql, qlens = qn(x, x_len)
+    assert ql.shape == (2, 64, 29)
+    assert np.array_equal(np.asarray(qlens), [64, 54])
+
+    import pytest
+    with pytest.raises(ValueError):
+        make_asr_serving_fn("quartznet5x5_en_ls", mode="int8",
+                            from_audio=False)

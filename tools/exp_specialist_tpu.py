@@ -85,6 +85,33 @@ def main():
             except Exception as e:
                 print(f"{name} ERROR {type(e).__name__}: {e}", flush=True)
 
+    if "jasper_int8" in which:
+        # int8-storage ASR pipeline vs the bf16 rows above. The qtree is
+        # passed as a jit ARGUMENT (333M params would 413 the tunnel's
+        # remote-compile limit as an HLO constant).
+        from pytorchcv_tpu.quant import calibrate_int8
+        from pytorchcv_tpu.quant.jasper_int8 import prepare_int8_jasper
+        for name, B, secs in (("jasperdr10x5_en", 8, 15.0),
+                              ("jasper10x5", 8, 15.0)):
+            try:
+                m = ptc.get_model(name)
+                T = int(secs * 16000)
+                audio = jnp.asarray(rs.randn(B, T) * 0.1, jnp.float32)
+                lens = jnp.full((B,), T, jnp.int32)
+                scales = calibrate_int8(m, [(audio, lens)])
+                fn, qtree = prepare_int8_jasper(m, scales)
+
+                def f(a, l, qt, fn=fn):
+                    return fn(qt, a, l)
+
+                dt = time_apply(f, audio, lens, qtree)
+                print(f"{name:18s} int8 B{B} {secs:.0f}s audio: "
+                      f"{dt*1e3:8.2f} ms  {B/dt:6.1f} utt/s  "
+                      f"RTFx {B*secs/dt:7.0f}", flush=True)
+            except Exception as e:
+                print(f"{name} int8 ERROR {type(e).__name__}: {e}",
+                      flush=True)
+
     if "raft" in which:
         for name, (H, W), B in (("raft_small", (368, 768), 4),
                                 ("raft_things", (368, 768), 2)):
