@@ -11,11 +11,12 @@ from .inference import (data_parallel_infer_fn, shard_batch,
 from .multihost import feed_sharded, initialize_multihost, make_global_mesh
 from .pipeline import (microbatch, pipeline_apply, stack_stages,
                        unmicrobatch)
-from .train import (TrainState, create_train_state, make_train_step,
-                    shard_train_state)
+from .train import (TrainState, create_train_state, fsdp_pspecs,
+                    make_train_step, shard_train_state)
 
 __all__ = ["make_mesh", "data_parallel_infer_fn", "shard_batch",
            "spatial_infer_fn", "TrainState", "create_train_state",
-           "make_train_step", "shard_train_state", "initialize_multihost",
+           "make_train_step", "shard_train_state", "fsdp_pspecs",
+           "initialize_multihost",
            "make_global_mesh", "feed_sharded", "pipeline_apply",
            "stack_stages", "microbatch", "unmicrobatch"]

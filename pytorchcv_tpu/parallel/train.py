@@ -22,8 +22,8 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["TrainState", "create_train_state", "make_train_step",
-           "param_pspecs", "shard_train_state"]
+__all__ = ["TrainState", "create_train_state", "fsdp_pspecs",
+           "make_train_step", "param_pspecs", "shard_train_state"]
 
 
 class TrainState(struct.PyTreeNode):
@@ -48,6 +48,33 @@ def param_pspecs(params, min_tp_features: int = 256):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def fsdp_pspecs(params, n_shards: int, axis: str = "data",
+                min_shard_elems: int = 4096):
+    """Fully-sharded (ZeRO-3 style) partition specs: every big leaf is
+    sharded over the *data* axis on its largest divisible dimension.
+
+    Params, their gradients, and the optimizer moments (which inherit the
+    params' layout, see ``shard_train_state``) then all live 1/n-sharded in
+    HBM; XLA's SPMD partitioner inserts the all-gather at each use and the
+    reduce-scatter on the gradients — the hand-written gather/scatter of
+    torch-style FSDP is emergent, not coded. Small leaves (BN vectors,
+    biases) replicate: gathering them costs more than storing them.
+    """
+
+    def spec_for(x):
+        if x.size < min_shard_elems:
+            return P()
+        cands = [d for d in range(x.ndim) if x.shape[d] % n_shards == 0]
+        if not cands:
+            return P()
+        d = max(cands, key=lambda d: x.shape[d])
+        spec = [None] * x.ndim
+        spec[d] = axis
+        return P(*spec)
+
+    return jax.tree_util.tree_map(spec_for, params)
+
+
 def create_train_state(model, tx: optax.GradientTransformation) -> TrainState:
     variables = model.variables
     assert variables is not None, "model must be initialized"
@@ -61,16 +88,26 @@ def create_train_state(model, tx: optax.GradientTransformation) -> TrainState:
 
 
 def shard_train_state(model, tx: optax.GradientTransformation, mesh: Mesh,
-                      min_tp_features: int = 256) -> TrainState:
+                      min_tp_features: int = 256,
+                      style: str = "tp") -> TrainState:
     """Build a TrainState laid out over ``mesh``.
 
-    Params are device_put with tensor-parallel specs; the optimizer state is
+    ``style='tp'`` shards wide kernels over ``model`` (tensor parallel);
+    ``style='fsdp'`` shards every big leaf over ``data`` (ZeRO-3 — params,
+    grads and moments all 1/n per chip, see ``fsdp_pspecs``).
+
+    Params are device_put with the chosen specs; the optimizer state is
     created *inside jit from the sharded params*, so its leaves inherit the
     params' layout without a per-leaf spec table.
     """
     variables = model.variables
     assert variables is not None, "model must be initialized"
-    specs = param_pspecs(variables["params"], min_tp_features)
+    if style == "tp":
+        specs = param_pspecs(variables["params"], min_tp_features)
+    elif style == "fsdp":
+        specs = fsdp_pspecs(variables["params"], mesh.shape["data"])
+    else:
+        raise ValueError(f"unknown sharding style: {style!r}")
     params = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         variables["params"], specs)
@@ -87,29 +124,68 @@ def shard_train_state(model, tx: optax.GradientTransformation, mesh: Mesh,
     return init(params, stats)
 
 
-def make_train_step(model, tx: optax.GradientTransformation) -> Callable:
+def make_train_step(model, tx: optax.GradientTransformation,
+                    accum_steps: int = 1, remat: bool = False) -> Callable:
     """jitted ``step(state, images, labels) -> (state, metrics)``.
 
     Shardings follow the placement of ``state`` (see ``shard_train_state``)
     and the batch (see ``inference.shard_batch``); ``state`` buffers are
     donated.
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` — activations are
+    recomputed in the backward pass instead of held in HBM (identical math,
+    the TPU memory/FLOPs trade). ``accum_steps=k`` splits the batch into k
+    microbatches and runs them through a ``lax.scan`` that sums gradients
+    (BN stats carry forward sequentially) before the single optimizer
+    update — peak activation memory drops k-fold at full effective batch.
     """
 
-    def loss_fn(params, batch_stats, images, labels, step):
+    def apply_fn(params, batch_stats, images, step):
         variables = {"params": params, "batch_stats": batch_stats}
         rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(0), step)}
-        logits, mutated = model.module.apply(
+        return model.module.apply(
             variables, images, train=True, mutable=["batch_stats"],
             rngs=rngs)
+
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
+
+    def loss_fn(params, batch_stats, images, labels, step):
+        logits, mutated = apply_fn(params, batch_stats, images, step)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
         acc = (logits.argmax(-1) == labels).mean()
         return loss, (mutated["batch_stats"], acc)
 
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def accum_grads(state, images, labels):
+        """Microbatched gradient: mean over `accum_steps` scan iterations."""
+        k = accum_steps
+        assert images.shape[0] % k == 0, (
+            f"batch {images.shape[0]} not divisible by accum_steps={k}")
+        im = images.reshape(k, images.shape[0] // k, *images.shape[1:])
+        lb = labels.reshape(k, labels.shape[0] // k, *labels.shape[1:])
+
+        def body(carry, xs):
+            stats, gsum, lsum, asum = carry
+            (loss, (stats, acc)), grads = grad_fn(
+                state.params, stats, xs[0], xs[1], state.step)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return (stats, gsum, lsum + loss, asum + acc), None
+
+        gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        (stats, gsum, lsum, asum), _ = jax.lax.scan(
+            body, (state.batch_stats, gzero, 0.0, 0.0), (im, lb))
+        mean = lambda t: jax.tree_util.tree_map(lambda g: g / k, t)
+        return lsum / k, stats, asum / k, mean(gsum)
+
     def step(state: TrainState, images, labels):
-        (loss, (new_stats, acc)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                   images, labels, state.step)
+        if accum_steps == 1:
+            (loss, (new_stats, acc)), grads = grad_fn(
+                state.params, state.batch_stats, images, labels, state.step)
+        else:
+            loss, new_stats, acc, grads = accum_grads(state, images, labels)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
