@@ -24,13 +24,15 @@ import numpy as np
 import optax
 
 import pytorchcv_tpu as ptc
-from pytorchcv_tpu.parallel import (make_mesh, make_train_step, shard_batch,
+from pytorchcv_tpu.data import prefetch_to_mesh, train_augment
+from pytorchcv_tpu.parallel import (make_mesh, make_train_step,
                                     shard_train_state)
 
 
-def synthetic_batches(rng, batch, in_size, num_classes, steps):
+def synthetic_batches(rng, batch, raw_size, num_classes, steps):
+    """Stand-in for a dataset: raw uint8 frames + labels."""
     for _ in range(steps):
-        yield (rng.rand(batch, *in_size, 3).astype(np.float32),
+        yield (rng.randint(0, 256, (batch, *raw_size, 3)).astype(np.uint8),
                rng.randint(0, num_classes, batch).astype(np.int32))
 
 
@@ -58,12 +60,15 @@ def main():
     state = shard_train_state(model, tx, mesh, style=style)
     step = make_train_step(model, tx, accum_steps=accum, remat=remat)
 
+    # Native input pipeline: raw uint8 batches staged onto the mesh by a
+    # background thread, augmented by one jitted device program.
     rng = np.random.RandomState(0)
-    for i, (images, labels) in enumerate(
-            synthetic_batches(rng, batch, in_size, 1000, steps)):
-        state, metrics = step(state,
-                              shard_batch(mesh, jnp.asarray(images)),
-                              shard_batch(mesh, jnp.asarray(labels)))
+    raw_size = (in_size[0] + 16, in_size[1] + 16)
+    source = synthetic_batches(rng, batch, raw_size, 1000, steps)
+    for i, (images, labels) in enumerate(prefetch_to_mesh(source, mesh)):
+        x = train_augment(images, jax.random.PRNGKey(i), out_size=in_size,
+                          dtype=jnp.float32)
+        state, metrics = step(state, x, labels)
         print(f"step {i}: loss={float(metrics['loss']):.4f} "
               f"acc={float(metrics['accuracy']):.3f}")
 
