@@ -31,6 +31,7 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    ema_params: Any = None
 
 
 def param_pspecs(params, min_tp_features: int = 256):
@@ -75,7 +76,8 @@ def fsdp_pspecs(params, n_shards: int, axis: str = "data",
     return jax.tree_util.tree_map(spec_for, params)
 
 
-def create_train_state(model, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(model, tx: optax.GradientTransformation,
+                       ema: bool = False) -> TrainState:
     variables = model.variables
     assert variables is not None, "model must be initialized"
     params = variables["params"]
@@ -84,12 +86,14 @@ def create_train_state(model, tx: optax.GradientTransformation) -> TrainState:
         params=params,
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
+        ema_params=jax.tree_util.tree_map(jnp.array, params) if ema
+        else None,
     )
 
 
 def shard_train_state(model, tx: optax.GradientTransformation, mesh: Mesh,
                       min_tp_features: int = 256,
-                      style: str = "tp") -> TrainState:
+                      style: str = "tp", ema: bool = False) -> TrainState:
     """Build a TrainState laid out over ``mesh``.
 
     ``style='tp'`` shards wide kernels over ``model`` (tensor parallel);
@@ -118,8 +122,12 @@ def shard_train_state(model, tx: optax.GradientTransformation, mesh: Mesh,
 
     @jax.jit
     def init(params, stats):
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                          batch_stats=stats, opt_state=tx.init(params))
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            batch_stats=stats, opt_state=tx.init(params),
+            # EMA shadows inherit the params' (tp or fsdp) layout
+            ema_params=jax.tree_util.tree_map(jnp.array, params) if ema
+            else None)
 
     return init(params, stats)
 
