@@ -41,7 +41,7 @@ class SKConvBlock(nn.Module):
             branches.append(conv3x3_block(
                 out_channels=self.out_channels, stride=self.stride,
                 padding=dilation, dilation=dilation, groups=self.groups,
-                name=f"branch{i + 2}"))
+                name=f"branch{i + 2}", parent=None))
         y = Concurrent(layers=tuple(branches), stack=True,
                        name="branches")(x, train=train)   # (B, M, H, W, C)
         u = y.sum(axis=1)
