@@ -42,7 +42,21 @@ def spatial_infer_fn(model, mesh: Mesh, axis: str = "data") -> Callable:
     """jit a forward pass with the image H axis sharded over the mesh —
     spatial partitioning for single large inputs; XLA handles conv halos."""
     spec = NamedSharding(mesh, P(None, axis, None, None))
-    return jax.jit(
+    # Params enter replicated: a caller may hand us a TP/FSDP-sharded
+    # state, and resharding via an explicit device_put (an all-gather on
+    # the sharded leaves) is both faster and quieter than leaving GSPMD to
+    # discover the mismatch mid-graph (involuntary full rematerialization
+    # warnings, observed on the TP-state -> spatial handoff).
+    repl = NamedSharding(mesh, P())
+    fn = jax.jit(
         lambda v, x: model.module.apply(v, x, train=False),
-        in_shardings=(None, spec),
+        in_shardings=(repl, spec),
     )
+
+    def infer(variables, x):
+        variables = jax.tree_util.tree_map(
+            lambda a: a if getattr(a, "sharding", None) == repl
+            else jax.device_put(a, repl), variables)
+        return fn(variables, x)
+
+    return infer

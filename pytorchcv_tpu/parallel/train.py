@@ -133,12 +133,18 @@ def shard_train_state(model, tx: optax.GradientTransformation, mesh: Mesh,
 
 
 def make_train_step(model, tx: optax.GradientTransformation,
-                    accum_steps: int = 1, remat: bool = False) -> Callable:
+                    accum_steps: int = 1, remat: bool = False,
+                    ema_decay: float = 0.999) -> Callable:
     """jitted ``step(state, images, labels) -> (state, metrics)``.
 
     Shardings follow the placement of ``state`` (see ``shard_train_state``)
     and the batch (see ``inference.shard_batch``); ``state`` buffers are
-    donated.
+    donated. The *output* state is pinned to the input state's shardings
+    (``out_shardings``): without the pin, GSPMD is free to pick a new layout
+    for the updated params each compile, which both breaks the donation
+    aliasing and poisons downstream jits with involuntary full
+    rematerializations (observed on the TP->spatial handoff in
+    ``dryrun_multichip``).
 
     ``remat=True`` wraps the forward in ``jax.checkpoint`` — activations are
     recomputed in the backward pass instead of held in HBM (identical math,
@@ -146,20 +152,24 @@ def make_train_step(model, tx: optax.GradientTransformation,
     microbatches and runs them through a ``lax.scan`` that sums gradients
     (BN stats carry forward sequentially) before the single optimizer
     update — peak activation memory drops k-fold at full effective batch.
+    Each microbatch gets an independent dropout key (step and microbatch
+    index both folded in), matching full-batch semantics.
+
+    ``ema_decay`` drives the exponential moving average of the params when
+    the state was created with ``ema=True`` (``state.ema_params`` shadows).
     """
 
-    def apply_fn(params, batch_stats, images, step):
+    def apply_fn(params, batch_stats, images, rng):
         variables = {"params": params, "batch_stats": batch_stats}
-        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(0), step)}
         return model.module.apply(
             variables, images, train=True, mutable=["batch_stats"],
-            rngs=rngs)
+            rngs={"dropout": rng})
 
     if remat:
         apply_fn = jax.checkpoint(apply_fn)
 
-    def loss_fn(params, batch_stats, images, labels, step):
-        logits, mutated = apply_fn(params, batch_stats, images, step)
+    def loss_fn(params, batch_stats, images, labels, rng):
+        logits, mutated = apply_fn(params, batch_stats, images, rng)
         loss = optax.softmax_cross_entropy_with_integer_labels(
             logits, labels).mean()
         acc = (logits.argmax(-1) == labels).mean()
@@ -167,7 +177,7 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def accum_grads(state, images, labels):
+    def accum_grads(state, images, labels, rng):
         """Microbatched gradient: mean over `accum_steps` scan iterations."""
         k = accum_steps
         assert images.shape[0] % k == 0, (
@@ -177,27 +187,55 @@ def make_train_step(model, tx: optax.GradientTransformation,
 
         def body(carry, xs):
             stats, gsum, lsum, asum = carry
+            im_i, lb_i, idx = xs
             (loss, (stats, acc)), grads = grad_fn(
-                state.params, stats, xs[0], xs[1], state.step)
+                state.params, stats, im_i, lb_i,
+                jax.random.fold_in(rng, idx))
             gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
             return (stats, gsum, lsum + loss, asum + acc), None
 
         gzero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
         (stats, gsum, lsum, asum), _ = jax.lax.scan(
-            body, (state.batch_stats, gzero, 0.0, 0.0), (im, lb))
+            body, (state.batch_stats, gzero, 0.0, 0.0),
+            (im, lb, jnp.arange(k)))
         mean = lambda t: jax.tree_util.tree_map(lambda g: g / k, t)
         return lsum / k, stats, asum / k, mean(gsum)
 
     def step(state: TrainState, images, labels):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
         if accum_steps == 1:
             (loss, (new_stats, acc)), grads = grad_fn(
-                state.params, state.batch_stats, images, labels, state.step)
+                state.params, state.batch_stats, images, labels, rng)
         else:
-            loss, new_stats, acc, grads = accum_grads(state, images, labels)
+            loss, new_stats, acc, grads = accum_grads(
+                state, images, labels, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        ema = state.ema_params
+        if ema is not None:
+            ema = jax.tree_util.tree_map(
+                lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                ema, params)
         new_state = state.replace(step=state.step + 1, params=params,
-                                  batch_stats=new_stats, opt_state=opt_state)
+                                  batch_stats=new_stats, opt_state=opt_state,
+                                  ema_params=ema)
         return new_state, {"loss": loss, "accuracy": acc}
 
-    return jax.jit(step, donate_argnums=(0,))
+    # One jit per observed input-state layout, outputs pinned to it.
+    _jits: dict = {}
+
+    def jitted_step(state: TrainState, images, labels):
+        leaves, treedef = jax.tree_util.tree_flatten(state)
+        shardings = tuple(leaf.sharding for leaf in leaves)
+        fn = _jits.get((treedef, shardings))
+        if fn is None:
+            state_sh = jax.tree_util.tree_unflatten(treedef, list(shardings))
+            scalar_sh = state.step.sharding
+            fn = jax.jit(
+                step, donate_argnums=(0,),
+                out_shardings=(state_sh, {"loss": scalar_sh,
+                                          "accuracy": scalar_sh}))
+            _jits[(treedef, shardings)] = fn
+        return fn(state, images, labels)
+
+    return jitted_step

@@ -71,11 +71,16 @@ def test_sharded_train_step():
     assert losses[2] < losses[0], f"loss not decreasing: {losses}"
 
 
-def test_driver_dryrun_multichip():
+def test_driver_dryrun_multichip(capfd):
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+    # The sharded phases must compose without GSPMD resorting to full
+    # replication at a layout boundary (VERDICT r2: TP-state -> spatial
+    # handoff used to trigger this on stage2 identity_conv kernels).
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err
 
 
 def test_multihost_feed_sharded_matches_device_put():
