@@ -54,7 +54,11 @@ def _sample_boxes(key, n, in_hw, scale, ratio):
     RandomResizedCrop distribution (area-uniform scale, log-uniform
     ratio), clamped to the image instead of retry-looped (static shapes:
     the 10-try/fallback host loop is replaced by clamping — same support,
-    slightly different tail distribution)."""
+    slightly different tail distribution). When a side clips, the other
+    side is recomputed from the *sampled* ratio (then clamped again), so
+    the realized aspect ratio only departs from the draw when no box of
+    that ratio fits the image at all — matching the spirit of
+    torchvision's center-fallback instead of silently distorting."""
     h, w = in_hw
     k_s, k_r, k_y, k_x = jax.random.split(key, 4)
     area = h * w * jax.random.uniform(k_s, (n,), minval=scale[0],
@@ -63,7 +67,8 @@ def _sample_boxes(key, n, in_hw, scale, ratio):
                                maxval=jnp.log(ratio[1]))
     r = jnp.exp(log_r)
     cw = jnp.clip(jnp.sqrt(area * r), 8.0, w)
-    ch = jnp.clip(jnp.sqrt(area / r), 8.0, h)
+    ch = jnp.clip(cw / r, 8.0, h)       # ratio-preserving: r = cw / ch
+    cw = jnp.clip(ch * r, 8.0, w)
     y0 = jax.random.uniform(k_y, (n,)) * (h - ch)
     x0 = jax.random.uniform(k_x, (n,)) * (w - cw)
     return y0, x0, ch, cw

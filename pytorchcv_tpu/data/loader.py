@@ -36,8 +36,19 @@ class PrefetchLoader:
         if stage is None:
             if mesh is not None:
                 shard = NamedSharding(mesh, P("data"))
-                stage = lambda batch: jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, shard), batch)
+                repl = NamedSharding(mesh, P())
+                n = mesh.shape["data"]
+
+                def _put(x):
+                    # Batch-dim sharding only where it is legal: scalar
+                    # leaves (0-d metadata) and leaves whose dim 0 isn't
+                    # divisible by the data axis replicate instead of
+                    # erroring mid-thread (mirrors shard_batch).
+                    ok = getattr(x, "ndim", 0) >= 1 and \
+                        x.shape[0] % n == 0
+                    return jax.device_put(x, shard if ok else repl)
+
+                stage = lambda batch: jax.tree_util.tree_map(_put, batch)
             else:
                 stage = jax.device_put
         self._it = it
@@ -46,26 +57,50 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator[Any]:
         q: queue.Queue = queue.Queue(maxsize=self._size)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 for batch in self._it:
-                    q.put(self._stage(batch))
+                    if not _put(self._stage(batch)):
+                        return          # consumer abandoned iteration
             except BaseException as e:  # surface in the consumer
-                q.put((_END, e))
+                _put((_END, e))
                 return
-            q.put((_END, None))
+            _put((_END, None))
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if isinstance(item, tuple) and len(item) == 2 \
-                    and item[0] is _END:
-                if item[1] is not None:
-                    raise item[1]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if isinstance(item, tuple) and len(item) == 2 \
+                        and item[0] is _END:
+                    if item[1] is not None:
+                        raise item[1]
+                    return
+                yield item
+        finally:
+            # Consumer may break early (or zip with a shorter stream):
+            # release the producer and drop staged device buffers instead
+            # of holding `size` batches of HBM per abandoned loader.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=5.0)
 
 
 def prefetch_to_mesh(it: Iterable[Any], mesh: Mesh,

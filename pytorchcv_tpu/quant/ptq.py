@@ -160,10 +160,11 @@ def quantize_model(model, calib_batches: Optional[Sequence] = None,
     """One-call PTQ: calibrate (random batches if none given) and return
     ``(apply_fn, scales)``; ``apply_fn(variables, x)`` is jittable.
 
-    WARNING: the default calibration draws uniform [0, 1) inputs, which
-    mis-scales every layer for deployments whose inputs are normalized
-    (ImageNet preprocessing spans roughly [-2.1, 2.6] — amax off by ~2.6x).
-    Pass ``calib_batches`` drawn from the *deployment input domain* (e.g.
+    Default calibration draws from the *deployment input domain*: random
+    uint8 pixels pushed through ImageNet normalization for 3-channel image
+    models (the domain every zoo preprocess emits, roughly [-2.1, 2.6] —
+    uniform [0, 1) draws would mis-scale every layer's amax by ~2.6x),
+    standard-normal inputs otherwise. Pass real ``calib_batches`` (e.g.
     batches pushed through the serving preprocess closure, as
     ``serve._calibrate`` does) for deployment-grade scales."""
     if calib_batches is None:
@@ -175,7 +176,14 @@ def quantize_model(model, calib_batches: Optional[Sequence] = None,
             if isinstance(x, tuple):
                 raise ValueError("multi-input models need explicit "
                                  "calib_batches")
-            calib_batches.append(
-                jax.random.uniform(sub, x.shape, jnp.float32))
+            if x.ndim == 4 and x.shape[-1] == 3:
+                u8 = jax.random.randint(sub, x.shape, 0, 256, jnp.int32)
+                mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+                std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+                calib_batches.append(
+                    (u8.astype(jnp.float32) / 255.0 - mean) / std)
+            else:
+                calib_batches.append(
+                    jax.random.normal(sub, x.shape, jnp.float32))
     scales = calibrate_int8(model, calib_batches)
     return int8_apply_fn(model, scales), scales

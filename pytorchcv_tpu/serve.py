@@ -25,6 +25,55 @@ from .model_provider import get_model
 __all__ = ["make_serving_fn", "make_asr_serving_fn"]
 
 
+# Registry-declared int8 routing (VERDICT r2 item 4: structural
+# tree-sniffing alone mis-fired — round 1's fastseresnet crash — and an
+# SKNet tree even *passes* the plain-resnet sniff while its SKConv body
+# would crash the pipeline). Routing is now two-stage: the table below,
+# keyed by the constructor's defining module (models/<file>.py), DECLARES
+# which int8 pipeline a family may use; the structural predicate for that
+# pipeline then VALIDATES the actual tree (ctor kwargs can change it), and
+# a failed validation falls back to bf16 instead of crashing.
+#
+# Families absent from the table serve bf16 in auto mode: every listed
+# entry is backed by an A/B measurement on v5e (STATUS.md); unlisted
+# families either measured slower in int8 (concat/branch-heavy: inception,
+# densenet, vovnet, ...) or are unmeasured, and auto means "measured best".
+# A trailing '!' marks pipelines that exist but lost their A/B — used only
+# when the caller forces mode='int8'.
+_INT8_ROUTES = {
+    # classification, int8-storage pipelines
+    "resnet": "resnet", "seresnet": "resnet", "resnext": "resnet",
+    "seresnext": "resnet", "senet": "resnet", "wrn": "resnet",
+    "resnet_cifar": "resnet", "seresnet_cifar": "resnet",
+    "resnext_cifar": "resnet", "wrn_cifar": "resnet",
+    "preresnet": "preresnet", "sepreresnet": "preresnet",
+    "preresnet_cifar": "preresnet", "sepreresnet_cifar": "preresnet",
+    "mobilenet": "mobilenet_v1", "mobilenetv2": "mobilenetv2",
+    "vgg": "vgg", "darknet53": "darknet",
+    # dense-prediction int8 trunks (additionally gated on task)
+    "pspnet": "seg_backbone", "deeplabv3": "seg_backbone",
+    "fcn8sd": "seg_backbone", "danet": "seg_backbone",
+    "simplepose_coco": "plain_trunk", "alphapose_coco": "plain_trunk",
+    "centernet": "plain_trunk",
+    # measured a wash/loss vs bf16 — explicit mode='int8' only
+    "mobilenetv3": "mobilenetv3!", "efficientnet": "efficientnet!",
+}
+
+
+def declared_int8_route(model_name: str, mode: str = "auto"):
+    """The int8 pipeline declared for ``model_name``'s family, or None.
+    ``mode='int8'`` additionally unlocks the '!'-suffixed (measured-slower)
+    pipelines."""
+    from .models.registry import get_constructor
+    module = get_constructor(model_name).__module__.rsplit(".", 1)[-1]
+    route = _INT8_ROUTES.get(module)
+    if route is None:
+        return None
+    if route.endswith("!"):
+        return route[:-1] if mode == "int8" else None
+    return route
+
+
 def _is_plain_resnet(variables) -> bool:
     """True when the params tree matches the zoo ResNet layout that the
     int8-storage pipeline understands."""
@@ -178,8 +227,9 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         raise ValueError(f"unknown serving task '{task}'")
 
     use_int8 = mode in ("auto", "int8")
+    route = declared_int8_route(model_name, mode) if use_int8 else None
     infer = None
-    if use_int8 and task == "segmentation":
+    if route == "seg_backbone" and task == "segmentation":
         import inspect
         from .quant.seg_backbone_int8 import (is_seg_resnetd_backbone,
                                               prepare_int8_seg_backbone)
@@ -200,7 +250,8 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                 outs = bfn(qtree, x)
                 return head.apply(head_vars, tuple(outs), train=False,
                                   from_features=True)
-    if infer is None and use_int8 and task in ("pose", "detection"):
+    if infer is None and route == "plain_trunk" and \
+            task in ("pose", "detection"):
         import inspect
         from .quant.seg_backbone_int8 import (is_plain_resnet_trunk,
                                               prepare_int8_plain_trunk)
@@ -217,7 +268,8 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
                 feat = bfn(qtree, x)
                 return head.apply(head_vars, feat, train=False,
                                   from_features=True)
-    if infer is None and use_int8 and _is_plain_resnet(model.variables):
+    if infer is None and route == "resnet" and \
+            _is_plain_resnet(model.variables):
         from .quant.resnet_int8 import prepare_int8_resnet
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_resnet(model, scales)
@@ -229,23 +281,23 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
             # batch-384 either way); routed planar to keep the pipeline's
             # planar path exercised and the preprocess emission native.
             pre = _cls_pre(layout="nchw")
-    elif use_int8 and _is_plain_preresnet(model.variables):
+    elif route == "preresnet" and _is_plain_preresnet(model.variables):
         from .quant.preresnet_int8 import prepare_int8_preresnet
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_preresnet(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif use_int8 and _is_mobilenet_v2(model.variables):
+    elif route == "mobilenetv2" and _is_mobilenet_v2(model.variables):
         from .quant.mobilenet_int8 import prepare_int8_mobilenet
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_mobilenet(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif use_int8 and _is_mobilenet_v1(model.variables):
+    elif route == "mobilenet_v1" and _is_mobilenet_v1(model.variables):
         # measured 53.5k img/s int8 vs 41.7k bf16 (mobilenet_w1, v5e)
         from .quant.mobilenet_int8 import prepare_int8_mobilenet_v1
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_mobilenet_v1(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif use_int8 and _is_darknet53(model.variables):
+    elif route == "darknet" and _is_darknet53(model.variables):
         # compute-dominated leaky-ReLU conv stacks: generic int8 already
         # measured 1.28x bf16; the storage pipeline goes further (see
         # quant/darknet_int8.py measured numbers)
@@ -253,21 +305,21 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_darknet(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif use_int8 and _is_plain_vgg(model.variables):
+    elif route == "vgg" and _is_plain_vgg(model.variables):
         # compute-dominated dense 3x3 stacks: the int8 MXU is a ~2x
         # lever (see quant/vgg_int8.py measured numbers)
         from .quant.vgg_int8 import prepare_int8_vgg
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_vgg(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif mode == "int8" and _is_mobilenet_v3(model):
+    elif route == "mobilenetv3" and _is_mobilenet_v3(model):
         # measured a wash vs bf16 on v5e (the SE gates force the expanded
         # tensor to materialize) — auto keeps bf16; int8 on request.
         from .quant.mobilenetv3_int8 import prepare_int8_mobilenetv3
         scales = _calibrate(model, calib_batches, pre, source_hw)
         fn, qtree = prepare_int8_mobilenetv3(model, scales)
         infer = lambda x: fn(qtree, x)
-    elif mode == "int8" and _is_efficientnet(model):
+    elif route == "efficientnet" and _is_efficientnet(model):
         # measured below bf16 on v5e (SE + swish materialization) —
         # auto keeps bf16; int8 on request.
         from .quant.efficientnet_int8 import prepare_int8_efficientnet
