@@ -51,9 +51,25 @@ def main():
 
     @functools.partial(jax.jit, static_argnums=2)
     def run_n(qtree, x, n):
+        # Hoisting guard: XLA's loop-invariant code motion would pull an
+        # i-independent body out of the scan. Perturbing the 18 KB stem
+        # KERNEL (not the 116 MB input: that add alone costs ~0.28 ms of
+        # HBM traffic per step, ~2% of the measurement) makes the stem
+        # conv — and everything downstream — depend on i at zero cost;
+        # the input read still happens every iteration (x lives in HBM,
+        # far beyond VMEM residency). The bf16 add of i*1e-8 rounds to
+        # zero numerically but cannot be folded: i is loop-carried.
         def body(carry, i):
-            y = fn(qtree,
-                   x + i.astype(x.dtype) * jnp.asarray(1e-4, x.dtype))
+            eps = i.astype(jnp.bfloat16) * jnp.asarray(1e-8, jnp.bfloat16)
+            qt = dict(qtree)
+            f = dict(qt["features"])
+            ib = dict(f["init_block"])
+            conv = dict(ib["conv"])
+            conv["kf"] = conv["kf"] + eps
+            ib["conv"] = conv
+            f["init_block"] = ib
+            qt["features"] = f
+            y = fn(qt, x)
             return carry + y.astype(jnp.float32).sum(), None
         carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                 jnp.arange(n))
