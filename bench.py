@@ -29,12 +29,12 @@ import numpy as np
 
 BASELINE_IMG_S = 25000.0
 MODEL = "resnet50"
-BATCH = 384
-# One run_n call = one dispatch through the axon tunnel (~30 ms RTT) +
-# ITERS chained steps; steady-state serving amortizes dispatch, so use
-# enough iterations that the per-call overhead is <0.5% of the
-# measurement (round-1's ITERS=30 inflated the step ~1 ms, ~5%).
-ITERS = 200
+BATCH = int(os.environ.get("BENCH_BATCH", "384"))
+# One run_n call = one dispatch through the axon tunnel (~25 ms RTT) +
+# ITERS chained steps; steady-state serving amortizes dispatch. Measured
+# RTT/ITERS inflation: ITERS=200 leaves ~1% on the wall clock (25.26k
+# vs 25.43k img/s at 1000); 1000 leaves ~0.2%.
+ITERS = int(os.environ.get("BENCH_ITERS", "1000"))
 
 
 def main():

@@ -19,14 +19,27 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 384
-ITERS = 30
+ITERS = 150
 
 
 def time_fn(fn, qtree, x):
+    # Same hoisting guard as bench.py: perturb the 18 KB stem kernel
+    # (zero-traffic i-dependence) instead of the 116 MB input, whose
+    # per-iteration add inflated every truncation level ~0.14 ms and
+    # biased the per-stage deltas.
     @functools.partial(jax.jit, static_argnums=2)
     def run_n(qtree, x, n):
         def body(carry, i):
-            y = fn(qtree, x + i.astype(x.dtype) * jnp.asarray(1e-4, x.dtype))
+            eps = i.astype(jnp.bfloat16) * jnp.asarray(1e-8, jnp.bfloat16)
+            qt = dict(qtree)
+            f = dict(qt["features"])
+            ib = dict(f["init_block"])
+            conv = dict(ib["conv"])
+            conv["kf"] = conv["kf"] + eps
+            ib["conv"] = conv
+            f["init_block"] = ib
+            qt["features"] = f
+            y = fn(qt, x)
             return carry + y.astype(jnp.float32).sum(), None
         carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                 jnp.arange(n))
@@ -80,6 +93,9 @@ def truncated_forward(scales, conv1_stride, upto):
                            body["conv1"]["wq"].shape[3])
                 c1s = False if grouped else conv1_stride
                 s1, s2 = (stride, 1) if c1s else (1, stride)
+                # Shipped tail exactly (resnet_int8._forward q_identity
+                # path): int8 downsample-identity write, bf16 casts, f32
+                # add, quant to the next unit's scale.
                 t = R._cell(xq, s_in, body["conv1"], s1, True,
                             sc(f"{prefix}/conv2/conv"))
                 t = R._cell(t, sc(f"{prefix}/conv2/conv"), body["conv2"],
@@ -87,8 +103,13 @@ def truncated_forward(scales, conv1_stride, upto):
                 t = R._cell(t, sc(f"{prefix}/conv3/conv"), body["conv3"],
                             1, False)
                 if "identity_conv" in uq:
-                    idf = R._cell(xq, s_in, uq["identity_conv"], stride,
-                                  False)
+                    if s_next is not None:
+                        qid = R._cell(xq, s_in, uq["identity_conv"],
+                                      stride, False, s_next)
+                        idf = qid.astype(jnp.float32) * (s_next / 127.0)
+                    else:
+                        idf = R._cell(xq, s_in, uq["identity_conv"],
+                                      stride, False)
                 else:
                     idf = (xq.astype(jnp.float32) *
                            (s_in / 127.0)).astype(jnp.bfloat16)
