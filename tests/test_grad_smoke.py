@@ -134,6 +134,13 @@ CASES = [
     ("prnet", (256, 256), {}),
 ]
 
+# Default tier: every custom-vjp (ShakeDrop, ShakeShake, Binarize-STE,
+# isqrtcov's cov_pool/newton_schulz/triuvec, RevNet's nn.remat) and every
+# nn/arch.py container type (Hourglass -> ibppose, Sesquialteral ->
+# fishnet, DualPathParallelConcurent -> msdnet, MultiOutputSequential ->
+# centernet/lwopenpose, ParallelConcurent -> octresnet, Concurrent ->
+# inceptionv3) plus one representative per major family group.
+# GRAD_FULL=1 still runs all CASES (round-boundary sweeps).
 _FAST_SUBSET = {
     "resnet10", "preresnet10", "seresnet10", "resnext14_32x4d",
     "mobilenetv2_wd2", "mobilenetv3_small_w1", "efficientnet_b0",
@@ -141,6 +148,16 @@ _FAST_SUBSET = {
     "shakedropresnet20_cifar10", "wrn20_10_1bit_cifar10",
     "pspnet_resnetd50b_voc", "centernet_resnet18_voc",
     "simplepose_resnet18_coco",
+    # custom vjps
+    "shakeshakeresnet20_2x16d_cifar10", "resdropresnet20_cifar10",
+    "isqrtcovresnet18", "revnet38",
+    # container types
+    "ibppose_coco", "fishnet99", "msdnet22_cifar10", "octresnet10_ad2",
+    "fractalnet_cifar10", "ror3_56_cifar10", "rir_cifar10",
+    "inceptionv3",
+    # remaining family groups
+    "condensenet74_c4_g4", "mixnet_s", "shufflenetv2_wd2",
+    "enet_cityscapes", "lwopenpose2d_mobilenet_cmupan_coco",
 }
 
 
