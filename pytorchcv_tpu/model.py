@@ -143,34 +143,39 @@ class Model:
                                      **kwargs)
         return self.module.apply(variables, x, *extra, train=False, **kwargs)
 
-    def __call__(self, x, *extra, train: bool = False):
+    def __call__(self, x, *extra, train: bool = False, **kwargs):
         assert self.variables is not None, "call .init() first"
         if train:
-            return self.apply(self.variables, x, *extra, train=True)
+            return self.apply(self.variables, x, *extra, train=True,
+                              **kwargs)
         # Non-array positionals (e.g. ProPainter's local-frame count
         # ``lt``, used in static slicing) must stay out of the trace.
         # Containers holding arrays (list/tuple pytrees) and unhashable
         # values are dynamic — jit traces pytree args natively; only
-        # hashable array-free values can be cache keys.
-        args = (x,) + extra
+        # hashable array-free values can be cache keys. Keyword args
+        # (e.g. propainter_ip's ``interpolation="nearest"``) follow the
+        # same split, keyed by name.
+        kw_names = tuple(sorted(kwargs))
+        args = (x,) + extra + tuple(kwargs[k] for k in kw_names)
         is_arr = tuple(_is_dynamic_arg(a) for a in args)
         statics = tuple(a for a, arr in zip(args, is_arr) if not arr)
         dynamic = tuple(a for a, arr in zip(args, is_arr) if arr)
-        fn = self._jit_infer(is_arr, statics)
+        fn = self._jit_infer(is_arr, statics, kw_names)
         return fn(self.variables, *dynamic)
 
     @functools.cached_property
     def _infer_cache(self):
         return {}
 
-    def _jit_infer(self, is_arr, statics):
+    def _jit_infer(self, is_arr, statics, kw_names=()):
         # Variables are a jit ARGUMENT, not a closure: closed-over arrays
         # are baked into the HLO as constants, which bloats the program
         # (and overflows remote-compile payloads) for large models.
-        key = (is_arr, statics)
+        key = (is_arr, statics, kw_names)
         fn = self._infer_cache.get(key)
         if fn is None:
             cast = self.input_cast
+            n_kw = len(kw_names)
 
             def maybe_cast(tree):
                 if cast is None:
@@ -185,7 +190,10 @@ class Model:
                 it_s = iter(statics)
                 full = [maybe_cast(next(it_d)) if arr else next(it_s)
                         for arr in is_arr]
-                return self.module.apply(variables, *full, train=False)
+                pos, kw_vals = (full, []) if not n_kw else \
+                    (full[:-n_kw], full[-n_kw:])
+                return self.module.apply(variables, *pos, train=False,
+                                         **dict(zip(kw_names, kw_vals)))
             fn = jax.jit(reassemble)
             self._infer_cache[key] = fn
         return fn

@@ -260,7 +260,9 @@ class WindowBufferedSequencer(BufferedSequencer):
 
     def _append_window_result(self, wmm, data_chunk):
         span = wmm.target.stop - wmm.target.start
-        data_chunk = data_chunk[wmm.target_start:wmm.target_start + span]
+        if not (wmm.target_start == 0 and span == data_chunk.shape[0]):
+            data_chunk = data_chunk[wmm.target_start:
+                                    wmm.target_start + span]
         if self.buffer is None:
             self.buffer = data_chunk
         else:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 BATCH = 384
-ITERS = 30
+ITERS = 200
 
 
 def time_fn(fn, qtree, x):

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-ITERS = 20
+ITERS = 150
 
 
 def time_fn(fn, qtree, x):

@@ -46,7 +46,10 @@ def run_once(frames, masks, raft, rfc, pp, step):
     for chunk in it:
         done += chunk.shape[0]
         last = chunk
-    jax.block_until_ready(last)
+    # block_until_ready does NOT synchronize through the axon tunnel
+    # (CLAUDE.md); force a real device->host read of a scalar so the
+    # wall clock covers all enqueued work.
+    float(last.sum())
     return done
 
 
