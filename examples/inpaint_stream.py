@@ -34,6 +34,9 @@ def main():
     rfc = ptc.get_model("propainter_rfc", in_size=(H, W))
     pp = ptc.get_model("propainter", in_size=(H, W))
 
+    # host_buffers=True keeps stage buffers in host numpy (one device
+    # dispatch per window + one result fetch) — same frames bit-for-bit;
+    # useful when the host<->device link is latency-bound.
     it = ProPainterIterator(frames=TensorSequencer(frames),
                             masks=TensorSequencer(masks),
                             raft_model=raft, pprfc_model=rfc,

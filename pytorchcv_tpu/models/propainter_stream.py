@@ -58,8 +58,10 @@ class ProPainterITSequencer(WindowBufferedSequencer):
         ref_ids = self._calc_ref_index(s_idx, neighbor_ids, self.length,
                                        self.ref_stride, self.num_refs)
         wmm = self.window_index[win_pos]
-        ids = [i - wmm.sources[0].start for i in neighbor_ids + ref_ids]
-        ids = jnp.asarray(ids)
+        # np index array works for both np (host_buffers) and jnp chunks
+        import numpy as _np
+        ids = _np.asarray([i - wmm.sources[0].start
+                           for i in neighbor_ids + ref_ids])
         masked_frames = prop_frames[ids][None]
         masks_updated = updated_masks[ids][None]
         masks_in = masks[ids][None]
@@ -86,14 +88,13 @@ class ProPainterITSequencer(WindowBufferedSequencer):
         s = wmm.target.start - self.start_pos
         assert 0 <= s <= len(self.buffer)
         if s == len(self.buffer):
-            self.buffer = jnp.concatenate([self.buffer, data_chunk],
-                                          axis=0)
+            self.buffer = self._concat([self.buffer, data_chunk])
         else:
             tail_len = len(self.buffer) - s
             assert tail_len <= len(data_chunk)
             blended = 0.5 * (self.buffer[s:] + data_chunk[:tail_len])
-            self.buffer = jnp.concatenate(
-                [self.buffer[:s], blended, data_chunk[tail_len:]], axis=0)
+            self.buffer = self._concat(
+                [self.buffer[:s], blended, data_chunk[tail_len:]])
 
     @staticmethod
     def _calc_neighbor_index(mid, length, stride):
@@ -157,7 +158,7 @@ class ProPainterIterator:
                  pprfc_model=None, pp_model=None,
                  raft_window_size: Optional[int] = None,
                  pp_window_size: int = 80, pp_stride: int = 5,
-                 step: int = 10):
+                 step: int = 10, host_buffers: bool = False):
         assert len(frames) > 0 and len(frames) == len(masks) and step > 0
         assert isinstance(frames, BufferedSequencer)
         assert isinstance(masks, BufferedSequencer)
@@ -165,20 +166,25 @@ class ProPainterIterator:
         self.step = step
         self.frames = frames
         self.masks = masks
+        if host_buffers:
+            frames.enable_host_buffers()
+            masks.enable_host_buffers()
         self.flow_sequencer = RAFTSequencer(
             frames=frames, raft_model=raft_model,
-            window_size=raft_window_size)
+            window_size=raft_window_size, host_buffers=host_buffers)
         self.comp_flow_sequencer = ProPainterRFCSequencer(
             flows=self.flow_sequencer, masks=masks,
-            pprfc_model=pprfc_model, window_size=pp_window_size)
+            pprfc_model=pprfc_model, window_size=pp_window_size,
+            host_buffers=host_buffers)
         self.prop_framemask_sequencer = ProPainterIPSequencer(
             frames=frames, masks=masks,
             comp_flows=self.comp_flow_sequencer,
-            window_size=pp_window_size)
+            window_size=pp_window_size, host_buffers=host_buffers)
         self.trans_frame_sequencer = ProPainterITSequencer(
             prop_framemasks=self.prop_framemask_sequencer, masks=masks,
             comp_flows=self.comp_flow_sequencer, pp_model=pp_model,
-            pp_ref_window_size=pp_window_size)
+            pp_ref_window_size=pp_window_size,
+            host_buffers=host_buffers)
         self.inp_frame_sequencer = ProPainterIMSequencer(
             trans_frames=self.trans_frame_sequencer, frames=frames,
             masks=masks)

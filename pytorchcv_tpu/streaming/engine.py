@@ -20,6 +20,7 @@ import dataclasses
 from typing import Any, List, Sequence, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = ["Sequencer", "BufferedSequencer", "WindowBufferedSequencer",
            "TensorSequencer", "WindowRange", "WindowMap", "WindowMultiMap",
@@ -151,21 +152,50 @@ class Sequencer:
 class BufferedSequencer(Sequencer):
     """Sequencer with a grow-on-demand result buffer. ``trim_buffer_to``
     drops results the consumer has passed (frees HBM); ``clear_buffer``
-    resets the stream."""
+    resets the stream.
 
-    def __init__(self, data):
+    ``host_buffers=True`` keeps the result buffer (and all bookkeeping:
+    slice, concat, trim, overlap blend) in host numpy, so the only
+    device dispatches per window are the jitted net call(s) plus one
+    blocking result fetch. Host-driven streaming through a remote
+    device link is dispatch-latency-bound (measured: each eager jnp
+    slice/concat is one round trip — tools/exp_dispatch_count.py), so
+    trading a per-window bulk fetch for dozens of tiny dispatches wins
+    whenever link bandwidth x window bytes < saved round trips."""
+
+    def __init__(self, data, host_buffers: bool = False):
         super().__init__(data)
         self.start_pos = 0
         self.end_pos = 0
         self.buffer = None
+        self.host_buffers = False
+        if host_buffers:
+            self.enable_host_buffers()
+
+    def _to_buf(self, chunk):
+        """Convert a freshly computed chunk to the buffer domain."""
+        return np.asarray(chunk) if self.host_buffers else chunk
+
+    def _concat(self, chunks):
+        xp = np if self.host_buffers else jnp
+        return xp.concatenate(chunks, axis=0)
+
+    def enable_host_buffers(self):
+        """Switch to host-side buffering; converts any existing state."""
+        self.host_buffers = True
+        if self.buffer is not None:
+            self.buffer = np.asarray(self.buffer)
+        self.raw_data_list = [
+            raw if isinstance(raw, Sequencer) else np.asarray(raw)
+            for raw in self.raw_data_list]
 
     def _expand_buffer_by(self, data_chunk):
-        self.buffer = jnp.concatenate([self.buffer, data_chunk], axis=0)
+        self.buffer = self._concat([self.buffer, data_chunk])
 
     def _expand_buffer_to(self, end: int):
         assert end > self.end_pos
         chunks = [raw[self.end_pos:end] for raw in self.raw_data_list]
-        data_chunk = self._calc_data_items(chunks)
+        data_chunk = self._to_buf(self._calc_data_items(chunks))
         if self.buffer is None:
             self.buffer = data_chunk
         else:
@@ -259,6 +289,7 @@ class WindowBufferedSequencer(BufferedSequencer):
         return jax.vmap(one)(*stacked_chunk_list)
 
     def _append_window_result(self, wmm, data_chunk):
+        data_chunk = self._to_buf(data_chunk)
         span = wmm.target.stop - wmm.target.start
         if not (wmm.target_start == 0 and span == data_chunk.shape[0]):
             data_chunk = data_chunk[wmm.target_start:
@@ -297,13 +328,14 @@ class WindowBufferedSequencer(BufferedSequencer):
 
     def _run_window_group(self, group):
         """Evaluate a group of same-shaped windows as one sharded batch."""
+        xp = np if self.host_buffers else jnp
         stacked = []
         for i, raw in enumerate(self.raw_data_list):
             parts = [raw[self.window_index[wp].sources[i].start:
                          self.window_index[wp].sources[i].stop]
                      for wp in group]
-            stacked.append(jnp.stack([jnp.asarray(p) for p in parts],
-                                     axis=0))
+            stacked.append(xp.stack([xp.asarray(p) for p in parts],
+                                    axis=0))
         k = len(group)
         if self.mesh is not None:
             import jax
@@ -311,8 +343,8 @@ class WindowBufferedSequencer(BufferedSequencer):
             n = int(self.mesh.shape["data"])
             pad = (-k) % n
             if pad:
-                stacked = [jnp.concatenate(
-                    [s, jnp.repeat(s[-1:], pad, axis=0)], axis=0)
+                stacked = [xp.concatenate(
+                    [s, xp.repeat(s[-1:], pad, axis=0)], axis=0)
                     for s in stacked]
             sharding = NamedSharding(self.mesh, PartitionSpec("data"))
             stacked = [jax.device_put(s, sharding) for s in stacked]

@@ -166,6 +166,41 @@ def test_propainter_iterator_smoke():
     assert np.allclose(out * (1 - m), f * (1 - m), atol=1e-4)
 
 
+def test_propainter_iterator_host_buffers_matches_device():
+    """host_buffers=True (all bookkeeping in numpy, one fetch per window)
+    must produce the same frames as the device-buffered path."""
+    import jax.numpy as jnp
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.models.propainter_stream import (ProPainterIterator,
+                                                        TensorSequencer)
+
+    T, H, W = 8, 48, 96
+    rs = np.random.RandomState(1)
+    frames = (rs.rand(T, H, W, 3) * 255).astype(np.float32)
+    masks = (rs.rand(T, H, W, 1) > 0.8).astype(np.float32)
+
+    def fake_raft(f1, f2):
+        t = f1.shape[0]
+        return (jnp.zeros((t, H // 8, W // 8, 2)),
+                jnp.zeros((t, H, W, 2)))
+
+    rfc = ptc.get_model("propainter_rfc", in_size=(H, W))
+    pp = ptc.get_model("propainter", in_size=(H, W))
+
+    def run(host):
+        it = ProPainterIterator(frames=TensorSequencer(jnp.asarray(frames)),
+                                masks=TensorSequencer(jnp.asarray(masks)),
+                                raft_model=fake_raft, pprfc_model=rfc,
+                                pp_model=pp, step=5, host_buffers=host)
+        return np.concatenate([np.asarray(c) for c in it], 0)
+
+    dev = run(False)
+    hst = run(True)
+    assert hst.shape == dev.shape
+    # identical programs, identical inputs; only the buffer domain moved
+    np.testing.assert_allclose(hst, dev, atol=1e-5)
+
+
 @pytest.mark.skipif(not os.environ.get("STREAM_E2E"),
                     reason="full numeric e2e only with STREAM_E2E=1")
 def test_streaming_pipeline_full_numeric_parity():

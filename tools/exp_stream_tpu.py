@@ -12,15 +12,18 @@ first pass compiles every window shape; the timed pass reuses them.
 
 Usage: python tools/exp_stream_tpu.py [H W T step]
 
-MEASURED (v5e via axon tunnel, 2026-08-18, T=24 step=6):
-  240x432: 78.7 s  (0.30 frames/s)
-  64x128: 102.0 s  (0.24 frames/s)   <- device work ~0.2 s!
-The wall time is RESOLUTION-INDEPENDENT: it is host-dispatch latency
-through the tunnel (hundreds of tiny buffer/slice/window ops, each a
-round trip), not device time. Per-stage device programs at 240x432 sum
-to ~5.2 s per 24 frames (tools/exp_stream_stages.py: raft 2x232 ms,
-rfc 615 ms, ip 314 ms, transformer ~5x754 ms) => ~4.6 frames/s expected
-with a colocated host (production TPU-VM topology).
+MEASURED (v5e via axon tunnel):
+  2026-08-18 (pre c2e0736, sequencers ran nets op-by-op):
+    240x432: 78.7 s (0.30 f/s); 64x128: 102.0 s (0.24 f/s) —
+    resolution-independent host-dispatch storm.
+  2026-08-19 (sequencers through the pre-jitted Model path, T=24 step=6):
+    240x432 host_buffers=False: 3.89 s -> 6.17 frames/s  == the
+      device-side stage sum (~3.9 s/24f, exp_stream_stages.py): the
+      pipeline is NO LONGER host-bound; dispatch census
+      (exp_dispatch_count.py): ~5 dispatches/window, 0.4-0.9 ms each.
+    240x432 host_buffers=True: 35.61 s -> 0.67 frames/s — every window
+      round-trips input/result bytes over the ~20-35 MB/s tunnel;
+      host buffering only pays on latency-bound-but-wide links.
 """
 
 import os
@@ -34,13 +37,14 @@ import jax
 import jax.numpy as jnp
 
 
-def run_once(frames, masks, raft, rfc, pp, step):
+def run_once(frames, masks, raft, rfc, pp, step, host_buffers=False):
     from pytorchcv_tpu.models.propainter_stream import (ProPainterIterator,
                                                         TensorSequencer)
     it = ProPainterIterator(frames=TensorSequencer(frames),
                             masks=TensorSequencer(masks),
                             raft_model=raft, pprfc_model=rfc,
-                            pp_model=pp, step=step)
+                            pp_model=pp, step=step,
+                            host_buffers=host_buffers)
     done = 0
     last = None
     for chunk in it:
@@ -49,7 +53,7 @@ def run_once(frames, masks, raft, rfc, pp, step):
     # block_until_ready does NOT synchronize through the axon tunnel
     # (CLAUDE.md); force a real device->host read of a scalar so the
     # wall clock covers all enqueued work.
-    float(last.sum())
+    float(jnp.asarray(last).sum())
     return done
 
 
@@ -72,13 +76,16 @@ def main():
     t0 = time.time()
     run_once(frames, masks, raft, rfc, pp, step)     # compile pass
     print(f"compile+run pass: {time.time() - t0:.1f} s", flush=True)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        done = run_once(frames, masks, raft, rfc, pp, step)
-        best = min(best, time.time() - t0)
-    print(f"{H}x{W}, {T} frames, step {step}: "
-          f"{best:.2f} s -> {done / best:.2f} frames/s", flush=True)
+    for host in (False, True):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            done = run_once(frames, masks, raft, rfc, pp, step,
+                            host_buffers=host)
+            best = min(best, time.time() - t0)
+        print(f"{H}x{W}, {T} frames, step {step}, "
+              f"host_buffers={host}: "
+              f"{best:.2f} s -> {done / best:.2f} frames/s", flush=True)
 
 
 if __name__ == "__main__":
