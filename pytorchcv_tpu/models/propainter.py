@@ -152,8 +152,39 @@ class Decoder(nn.Module):
                              name="unit2")(x, train=train)
 
 
+class _DenseAsConv(nn.Module):
+    """Params identical to ``nn.Dense(features)`` over unfolded patches
+    (kernel (C*kh*kw, features) in torch unfold's channel-major (c, ki,
+    kj) row order), but applied as ONE strided conv: unfold+Dense IS a
+    (kh, kw) conv. Measured v5e, 19 frames at (60,108,128)->512: the
+    unfold+matmul formulation paid 31 ms of gather/relayout; the conv
+    is MXU-direct."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    padding: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", dense_kernel_init,
+                            (cin * kh * kw, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,))
+        kc = kernel.reshape(cin, kh, kw, self.features).transpose(
+            1, 2, 0, 3).astype(x.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kc, window_strides=self.stride,
+            padding=[(self.padding[0],) * 2, (self.padding[1],) * 2],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(x.dtype)
+
+
 class SoftSplit(nn.Module):
-    """Unfold + token embedding (reference propainter.py:196)."""
+    """Unfold + token embedding (reference propainter.py:196), computed
+    as one strided conv (see _DenseAsConv)."""
 
     hidden_dim: int = 512
     kernel_size: Tuple[int, int] = (7, 7)
@@ -163,20 +194,97 @@ class SoftSplit(nn.Module):
     @nn.compact
     def __call__(self, x, batch: int, output_size: Tuple[int, int],
                  train: bool = False):
-        del train
-        f_h = (output_size[0] + 2 * self.padding[0] -
-               self.kernel_size[0]) // self.stride[0] + 1
-        f_w = (output_size[1] + 2 * self.padding[1] -
-               self.kernel_size[1]) // self.stride[1] + 1
-        x = unfold_nhwc(x, self.kernel_size, self.stride, self.padding)
-        x = nn.Dense(self.hidden_dim, kernel_init=dense_kernel_init,
-                     name="embedding")(x)
+        del train, output_size
+        x = _DenseAsConv(features=self.hidden_dim,
+                         kernel_size=self.kernel_size, stride=self.stride,
+                         padding=self.padding, name="embedding")(x)
+        f_h, f_w = x.shape[1], x.shape[2]
         return x.reshape(batch, -1, f_h, f_w, x.shape[-1])
+
+
+class _DenseFoldAsConvT(nn.Module):
+    """Params identical to ``nn.Dense(kh*kw*channels)`` whose output is
+    torch-folded (overlap-add), but computed as ONE stride-1 conv over
+    the token grid producing (sh*sw*channels) phase channels followed by
+    depth-to-space: Dense+fold IS a stride-(sh,sw) conv transpose, and
+    the phase decomposition expresses it without ``lhs_dilation``
+    (measured: the lhs-dilated emission silently DROPS interior taps at
+    fw>=36 on both the TPU and CPU backends — tap kj=2 vanished at
+    (60,108); the phase form is exact everywhere and MXU-direct). The
+    Dense bias folds to a static per-pixel tap-count map times the
+    bias — a tiny einsum. Measured v5e (19 fr, 512 -> (60,108,128)):
+    fold-as-49-scatter-adds paid ~31 ms of relayout."""
+
+    channels: int
+    kernel_size: Tuple[int, int]
+    stride: Tuple[int, int]
+    padding: Tuple[int, int]
+
+    @nn.compact
+    def __call__(self, tok, output_size: Tuple[int, int]):
+        kh, kw = self.kernel_size
+        sh, sw = self.stride
+        ph, pw = self.padding
+        assert ph % sh == 0 and pw % sw == 0, \
+            "phase decomposition assumes stride-aligned padding"
+        h, w = output_size
+        c = self.channels
+        hid = tok.shape[-1]
+        b, fh, fw = tok.shape[0], tok.shape[1], tok.shape[2]
+        kernel = self.param("kernel", dense_kernel_init,
+                            (hid, kh * kw * c))
+        bias = self.param("bias", nn.initializers.zeros, (kh * kw * c,))
+        dh, dw = -(-kh // sh), -(-kw // sw)      # token taps per phase
+        w4 = kernel.reshape(hid, c, kh, kw).astype(tok.dtype)
+        kp = jnp.zeros((dh, dw, hid, sh * sw * c), tok.dtype)
+        # output pixel u = sh*(q + e) - ph + ry  (tap t_y = ry + sh*e):
+        # phase (ry, rx) of u, token-grid conv tap (dy, dx) = (dh-1-e, .)
+        for ry in range(sh):
+            for rx in range(sw):
+                base = (ry * sw + rx) * c
+                for dy in range(dh):
+                    ty = ry + sh * (dh - 1 - dy)
+                    if ty >= kh:
+                        continue
+                    for dx in range(dw):
+                        tx = rx + sw * (dw - 1 - dx)
+                        if tx >= kw:
+                            continue
+                        kp = kp.at[dy, dx, :, base:base + c].set(
+                            w4[:, :, ty, tx])
+        mh, mw = -(-h // sh), -(-w // sw)
+        pl_h = dh - 1 - ph // sh
+        pl_w = dw - 1 - pw // sw
+        pr_h = (mh - 1) + (dh - 1) - pl_h - (fh - 1)
+        pr_w = (mw - 1) + (dw - 1) - pl_w - (fw - 1)
+        out = jax.lax.conv_general_dilated(
+            tok, kp, window_strides=(1, 1),
+            padding=[(pl_h, pr_h), (pl_w, pr_w)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out.reshape(b, mh, mw, sh, sw, c)
+        out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, mh * sh, mw * sw, c)[:, :h, :w]
+        # folded Dense bias = (static tap-coverage counts) @ bias
+        def counts(size, k, s, p, f):
+            m = np.zeros((size, k), np.float32)
+            for t in range(k):
+                for q in range(f):
+                    u = q * s - p + t
+                    if 0 <= u < size:
+                        m[u, t] += 1.0
+            return jnp.asarray(m)
+        cy = counts(h, kh, sh, ph, fh)
+        cx = counts(w, kw, sw, pw, fw)
+        b3 = bias.reshape(c, kh, kw)
+        bias_map = jnp.einsum("yt,xs,cts->yxc", cy, cx,
+                              b3.astype(jnp.float32))
+        return out + bias_map.astype(tok.dtype)
 
 
 class SoftComp(nn.Module):
     """Token de-embedding + fold + bias conv (reference
-    propainter.py:248)."""
+    propainter.py:248), computed as one transposed conv (see
+    _DenseFoldAsConvT)."""
 
     channels: int = 128
     kernel_size: Tuple[int, int] = (7, 7)
@@ -188,13 +296,12 @@ class SoftComp(nn.Module):
                  train: bool = False):
         del train
         batch = x.shape[0]
-        x = x.reshape(batch, -1, x.shape[-1])
-        y = nn.Dense(self.kernel_size[0] * self.kernel_size[1] *
-                     self.channels, kernel_init=dense_kernel_init,
-                     name="embedding")(x)
-        y = y.reshape(batch * time, -1, y.shape[-1])
-        y = fold_nhwc(y, output_size, self.kernel_size, self.stride,
-                      self.padding)
+        fh, fw = x.shape[-3], x.shape[-2]
+        x = x.reshape(batch * time, fh, fw, x.shape[-1])
+        y = _DenseFoldAsConvT(channels=self.channels,
+                              kernel_size=self.kernel_size,
+                              stride=self.stride, padding=self.padding,
+                              name="embedding")(x, output_size)
         return conv3x3(out_channels=self.channels, bias=True,
                        name="bias_conv")(y)
 
@@ -335,6 +442,22 @@ class SparseWindowAttention(nn.Module):
         return nn.Dense(c, kernel_init=dense_kernel_init, name="proj")(out)
 
 
+def _fold_counts_np(output_size, kernel_size, stride, padding):
+    """Per-pixel patch-coverage counts of torch fold (== fold(ones));
+    static given the geometry."""
+    kh, kw = kernel_size
+    sh, sw = stride
+    ph, pw = padding
+    h, w = output_size
+    fh = (h + 2 * ph - kh) // sh + 1
+    fw = (w + 2 * pw - kw) // sw + 1
+    canvas = np.zeros((h + 2 * ph, w + 2 * pw), np.float32)
+    for qy in range(fh):
+        for qx in range(fw):
+            canvas[qy * sh:qy * sh + kh, qx * sw:qx * sw + kw] += 1.0
+    return canvas[ph:ph + h, pw:pw + w]
+
+
 class FusionFeedForward(nn.Module):
     """MLP with fold/unfold token fusion (reference propainter.py:518)."""
 
@@ -357,14 +480,16 @@ class FusionFeedForward(nn.Module):
                      name="0", parent=None),
         ), name="fc1")(x)
         b, n, c = x.shape
-        kernel_shape = self.kernel_size[0] * self.kernel_size[1]
-        normalizer = jnp.ones((b * n // n_vecs, n_vecs, kernel_shape),
-                              x.dtype)
-        normalizer = fold_nhwc(normalizer, output_size, self.kernel_size,
-                               self.stride, self.padding)
+        # overlap normalizer = fold(ones): a STATIC per-pixel tap-count
+        # map — computed in numpy at trace time, not scatter-added on
+        # device every call
+        inv_norm = jnp.asarray(
+            1.0 / _fold_counts_np(output_size, self.kernel_size,
+                                  self.stride, self.padding),
+            x.dtype)[None, :, :, None]
         folded = fold_nhwc(x.reshape(-1, n_vecs, c), output_size,
                            self.kernel_size, self.stride, self.padding)
-        y = unfold_nhwc(folded / normalizer, self.kernel_size, self.stride,
+        y = unfold_nhwc(folded * inv_norm, self.kernel_size, self.stride,
                         self.padding)
         y = y.reshape(b, n, c)
         y = nn.gelu(y, approximate=False)
