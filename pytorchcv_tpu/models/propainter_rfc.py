@@ -86,15 +86,23 @@ class SecondOrderDeformableAlignment(nn.Module):
             offset = offset + jnp.tile(flow_yx,
                                        (1, 1, 1, offset.shape[-1] // 2))
         mask = jax.nn.sigmoid(mask)
-        # NOTE: offsets are center + tanh-bounded residual by
-        # construction, so nn/deform.py's bounded-offset patch path
-        # applies — but it MEASURED SLOWER in context (980 vs 737 ms
-        # transformer window on v5e: per-pixel (P,P,C) patches replace
-        # gather-index cost with untiled HBM traffic). The general
-        # 4-gather path stays the measured default.
+        # Offsets are center + tanh-bounded residual by construction,
+        # so nn/deform.py's bounded-offset dispatch applies: on TPU at
+        # b==1 it takes the Pallas window sampler (kernels/
+        # deform_patch.py, 1.8 vs 18.5 ms at the feat-prop shape);
+        # elsewhere it falls through to the measured XLA default (the
+        # XLA patch-gather formulation measured SLOWER in context —
+        # 980 vs 737 ms transformer window: per-pixel (P,P,C) patches
+        # replace gather-index cost with untiled HBM traffic).
+        if flow is not None:
+            center = flow_yx
+        else:
+            center = jnp.zeros(x.shape[:3] + (2,), jnp.float32)
         return DeformConv(out_channels=self.out_channels,
                           deform_groups=self.deform_groups,
-                          name="deform_conv")(x, offset, mask)
+                          name="deform_conv")(
+            x, offset, mask, center=center,
+            residue_bound=float(self.max_residue_magnitude))
 
 
 class RFCBidirectionalPropagation(nn.Module):

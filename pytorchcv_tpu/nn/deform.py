@@ -74,9 +74,27 @@ def deform_conv2d(x, offset, mask, kernel, bias: Optional[jnp.ndarray] = None,
             and kernel.shape[0] == 3 and kernel.shape[1] == 3
             and padding == 1):
         P = 2 * math.ceil(residue_bound) + 4
-        if x.shape[1] >= P and x.shape[2] >= P:
-            return _deform_patch(x, offset, mask, kernel, bias,
-                                 deform_groups, center, residue_bound, P)
+        # Pallas window sampler (kernels/deform_patch.py): whole feature
+        # map VMEM-resident, one dynamic value load per pixel. Measured
+        # v5e at the feat-prop shape (1,60,108,128) G=16: 1.8 ms vs 18.5
+        # footprint / 30 patch-gather (tools/exp_deform3.py). Applies to
+        # b==1 TPU with the map (+ per-tile buffers) inside the ~16 MB
+        # VMEM; otherwise fall through to the measured XLA defaults —
+        # the XLA _deform_patch formulation stays tested but is NOT
+        # dispatched (measured slower in context: module docstring).
+        if (x.shape[1] >= P and x.shape[2] >= P and x.shape[0] == 1
+                and jax.default_backend() == "tpu"
+                and (x.shape[1] * (x.shape[2] + 32) * x.shape[3]
+                     * x.dtype.itemsize) <= 8 * 2 ** 20):
+            from ..kernels.deform_patch import deform_sample_patch
+            sampled = deform_sample_patch(
+                x, offset, mask, deform_groups, center,
+                residue_bound, P)
+            k2c = kernel.shape[0] * kernel.shape[1] * kernel.shape[2]
+            out = sampled @ kernel.reshape(k2c, kernel.shape[3])
+            if bias is not None:
+                out = out + bias
+            return out
     # Measured dispatch (v5e, tools/exp_deform.py, feat-prop shape):
     # bf16 -> footprint (18.5 vs 32.2 ms), f32 -> 4-corner (19.7 vs 22.1).
     if x.dtype == jnp.bfloat16:

@@ -310,3 +310,71 @@ class TestFusedBottleneck:
         out = fused_bottleneck_chain(xq, pack_units(units, s_chain),
                                      h, w, interpret=True)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestDeformPatch:
+    """Interpret-mode parity of the Pallas bounded-offset window sampler
+    (kernels/deform_patch.py) against both XLA formulations in
+    nn/deform.py — including pixels whose windows straddle the border
+    (OOB-zero) and W not a multiple of the 8-lane tile."""
+
+    def test_matches_general_and_patch(self):
+        from pytorchcv_tpu.kernels.deform_patch import deform_sample_patch
+        from pytorchcv_tpu.nn.deform import _deform_general, _deform_patch
+        import math as _math
+
+        rs = np.random.RandomState(0)
+        h, w, c, g, rb = 19, 27, 32, 4, 2.5   # n=513: exercises tile pad
+        k2 = 9
+        P = 2 * _math.ceil(rb) + 4
+        x = jnp.asarray(rs.randn(1, h, w, c), jnp.float32)
+        kernel = jnp.asarray(rs.randn(3, 3, c, 16) * 0.1, jnp.float32)
+        bias = jnp.asarray(rs.randn(16), jnp.float32)
+        center = jnp.asarray(rs.randn(1, h, w, 2) * 6.0, jnp.float32)
+        resid = jnp.asarray(rs.uniform(-rb, rb, (1, h, w, g, k2, 2)),
+                            jnp.float32)
+        offset = (resid + center[:, :, :, None, None, :]).reshape(
+            1, h, w, g * k2 * 2)
+        mask = jnp.asarray(rs.rand(1, h, w, g * k2), jnp.float32)
+
+        sampled = deform_sample_patch(x, offset, mask, g, center, rb, P,
+                                      interpret=True)
+        got = sampled @ kernel.reshape(9 * c, 16) + bias
+        ref = _deform_general(x, offset, mask, kernel, bias, 1, 1, g)
+        ref2 = _deform_patch(x, offset, mask, kernel, bias, g, center,
+                             rb, P)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_bf16_window_positions_stay_f32(self):
+        """bf16 data must still sample at f32-exact positions (the
+        regression class tests/test_sampling_precision.py guards for
+        the XLA paths)."""
+        from pytorchcv_tpu.kernels.deform_patch import deform_sample_patch
+        from pytorchcv_tpu.nn.deform import _deform_patch
+        import math as _math
+
+        rs = np.random.RandomState(1)
+        h, w, c, g, rb = 16, 24, 16, 2, 3.0
+        k2 = 9
+        P = 2 * _math.ceil(rb) + 4
+        xf = rs.randn(1, h, w, c).astype(np.float32)
+        x = jnp.asarray(xf, jnp.bfloat16)
+        kernel = jnp.asarray(rs.randn(3, 3, c, 8) * 0.1, jnp.bfloat16)
+        center = jnp.asarray(rs.randn(1, h, w, 2) * 4.0, jnp.float32)
+        resid = jnp.asarray(rs.uniform(-rb, rb, (1, h, w, g, k2, 2)),
+                            jnp.float32)
+        offset = (resid + center[:, :, :, None, None, :]).reshape(
+            1, h, w, g * k2 * 2)
+        mask = jnp.asarray(rs.rand(1, h, w, g * k2), jnp.float32)
+
+        sampled = deform_sample_patch(x, offset, mask, g, center, rb, P,
+                                      interpret=True)
+        got = np.asarray(sampled @ kernel.reshape(9 * c, 8),
+                         dtype=np.float32)
+        ref = np.asarray(_deform_patch(x, offset, mask, kernel, None, g,
+                                       center, rb, P), dtype=np.float32)
+        scale = np.abs(ref).max() + 1e-9
+        assert np.abs(got - ref).max() / scale < 0.05

@@ -197,10 +197,20 @@ def test_deform_bounded_fast_path_matches_general():
     mask = jnp.asarray(rs.rand(b, h, w, g * k2), jnp.float32)
 
     ref = _deform_general(x, offset, mask, kernel, bias, 1, 1, g)
-    got = deform_conv2d(x, offset, mask, kernel, bias, stride=1,
-                        padding=1, deform_groups=g, center=center,
-                        residue_bound=rb)
+    # _deform_patch directly: dispatch no longer routes here (the Pallas
+    # window kernel took the bounded fast path; off-TPU deform_conv2d
+    # falls through to the measured defaults), but the formulation stays
+    # the XLA oracle for the kernel and must remain correct.
+    P = 2 * int(np.ceil(rb)) + 4
+    got = _deform_patch(x, offset, mask, kernel, bias, g, center, rb, P)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # deform_conv2d with center/bound must stay correct whatever path
+    # the dispatch picks (here: CPU -> measured default)
+    got_d = deform_conv2d(x, offset, mask, kernel, bias, stride=1,
+                          padding=1, deform_groups=g, center=center,
+                          residue_bound=rb)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
     # tiny images fall back to the general path (patch cannot fit)
     xs = x[:, :8, :8]
