@@ -7,7 +7,8 @@ librosa itself is absent in this env)."""
 import numpy as np
 import pytest
 
-from conftest import add_reference_to_path, has_reference
+from conftest import (add_reference_to_path, has_reference,
+                      randomize_stateful_tensors)
 
 pytestmark = pytest.mark.skipif(not has_reference(),
                                 reason="reference repo not mounted")
@@ -38,6 +39,7 @@ def test_asr_trunk_parity(name, ref_ctor, num_classes):
     torch.manual_seed(0)
     ref = getattr(ref_mod, ref_ctor)(pretrained=False,
                                      from_audio=False).eval()
+    randomize_stateful_tensors(ref)
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
 
     model = ptc.get_model(name, init=False, from_audio=False)

@@ -5,7 +5,8 @@ Also exercises the torch-compatible LSTM (nn/rnn.py)."""
 import numpy as np
 import pytest
 
-from conftest import add_reference_to_path, has_reference
+from conftest import (add_reference_to_path, has_reference,
+                      randomize_stateful_tensors)
 
 pytestmark = pytest.mark.skipif(not has_reference(),
                                 reason="reference repo not mounted")
@@ -17,6 +18,7 @@ def _convert(name, ref):
     import pytorchcv_tpu as ptc
     from pytorchcv_tpu.zoo.convert import convert_state_dict
 
+    randomize_stateful_tensors(ref)
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
     model = ptc.get_model(name, init=False)
     variables = convert_state_dict(sd, model.shape_variables())

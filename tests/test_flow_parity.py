@@ -10,7 +10,8 @@ bilinear_sampler divides by zero (raft.py:139).
 import numpy as np
 import pytest
 
-from conftest import add_reference_to_path, has_reference
+from conftest import (add_reference_to_path, has_reference,
+                      randomize_stateful_tensors)
 
 pytestmark = pytest.mark.skipif(not has_reference(),
                                 reason="reference repo not mounted")
@@ -33,6 +34,7 @@ def test_raft_parity(name):
 
     torch.manual_seed(0)
     ref = getattr(ref_mod, name)(pretrained=False).eval()
+    randomize_stateful_tensors(ref)
     with torch.no_grad():
         for v in ref.state_dict().values():
             if v.ndim >= 2:

@@ -8,7 +8,8 @@ TPU-native gather+matmul implementation here."""
 import numpy as np
 import pytest
 
-from conftest import add_reference_to_path, has_reference
+from conftest import (add_reference_to_path, has_reference,
+                      randomize_stateful_tensors)
 from tv_stub import deform_conv2d_ref, install_torchvision_stub
 
 pytestmark = pytest.mark.skipif(not has_reference(),
@@ -71,6 +72,7 @@ def _convert(model, ref):
     import jax.numpy as jnp
     from pytorchcv_tpu.zoo.convert import convert_state_dict
 
+    randomize_stateful_tensors(ref)
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
     variables = convert_state_dict(sd, model.shape_variables())
     return jax.tree_util.tree_map(jnp.asarray, variables)

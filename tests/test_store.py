@@ -208,11 +208,11 @@ def test_real_release_artifact_end_to_end(tmp_path, monkeypatch):
         pytest.skip("reference repo not mounted")
 
     fixture = os.path.join(os.path.dirname(__file__), "fixtures",
-                           "resnet20_cifar10-0000-319eac3a.pth.zip")
+                           "resnet20_cifar10-0000-3b091e6d.pth.zip")
     with zipfile.ZipFile(fixture) as zf:
         blob = zf.read(zf.namelist()[0])
     sha1 = hashlib.sha1(blob).hexdigest()
-    assert sha1.startswith("319eac3a")   # committed artifact integrity
+    assert sha1.startswith("3b091e6d")   # committed artifact integrity
 
     meta = store.get_model_metainfo_dict()
     row = dict(meta["resnet20_cifar10"])
@@ -240,7 +240,7 @@ def test_real_release_artifact_end_to_end(tmp_path, monkeypatch):
     # the canonical cache file must exist and re-resolve without download
     cached = store.get_model_file("resnet20_cifar10", root=str(tmp_path))
     assert os.path.basename(cached) == \
-        "resnet20_cifar10-0000-319eac3a.pth"
+        "resnet20_cifar10-0000-3b091e6d.pth"
 
     add_reference_to_path()
     from pytorchcv.models.resnet_cifar import resnet20_cifar10 as ref_ctor

@@ -11,7 +11,8 @@ import os
 import numpy as np
 import pytest
 
-from conftest import add_reference_to_path, has_reference
+from conftest import (add_reference_to_path, has_reference,
+                      randomize_stateful_tensors)
 
 
 def test_window_index_parity_with_reference():
@@ -232,14 +233,17 @@ def test_streaming_pipeline_full_numeric_parity():
 
     torch.manual_seed(0)
     raft_t = ref_raft_mod.raft_things(in_normalize=False, iters=20).eval()
+    randomize_stateful_tensors(raft_t)
     with torch.no_grad():
         for v in raft_t.state_dict().values():
             if v.ndim >= 2:
                 v.mul_(0.25)
     torch.manual_seed(0)
     rfc_t = ref_rfc_mod.propainter_rfc().eval()
+    randomize_stateful_tensors(rfc_t)
     torch.manual_seed(0)
     pp_t = ref_pp_mod.propainter().eval()
+    randomize_stateful_tensors(pp_t)
 
     ref_it = RefIter(frames=RefTenSeq(torch.from_numpy(frames)),
                      masks=RefTenSeq(torch.from_numpy(masks)),

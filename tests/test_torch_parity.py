@@ -10,7 +10,8 @@ should add itself to PARITY_CASES.
 import numpy as np
 import pytest
 
-from conftest import add_reference_to_path, has_reference
+from conftest import (add_reference_to_path, has_reference,
+                      randomize_stateful_tensors)
 
 pytestmark = pytest.mark.skipif(not has_reference(),
                                 reason="reference repo not mounted")
@@ -349,6 +350,7 @@ def _forward_pair(name, ref_module, ref_ctor, size, kwargs):
     mod = importlib.import_module(ref_module)
     torch.manual_seed(0)
     ref = getattr(mod, ref_ctor)(pretrained=False, **kwargs).eval()
+    randomize_stateful_tensors(ref)
     use_f64 = name in F64_CASES
     if use_f64:
         jax.config.update("jax_enable_x64", True)
@@ -446,3 +448,50 @@ def test_forward_parity(name, ref_module, ref_ctor, size, tol, kwargs):
         scale = np.abs(b).max() + 1e-9
         err = np.abs(a - b).max() / scale
         assert err < tol, f"{name}: rel err {err:.2e} >= {tol}"
+
+
+def test_parity_tier_catches_bn_misconversion():
+    """Sensitivity check for the randomized-stats parity tier: a deliberate
+    converter bug (swapping one BN layer's running mean<->var) must push the
+    forward output far past the parity tolerance.  Guards against the tier
+    regressing to channel-uniform constants where such bugs are invisible
+    (reference _init_params kaimings only Conv2d, resnet.py:326-331)."""
+    import importlib
+
+    import torch
+
+    import jax.numpy as jnp
+    import pytorchcv_tpu as ptc
+    from pytorchcv_tpu.zoo.convert import convert_state_dict
+
+    add_reference_to_path()
+    mod = importlib.import_module("pytorchcv.models.resnet")
+    torch.manual_seed(0)
+    ref = mod.resnet10(pretrained=False).eval()
+    randomize_stateful_tensors(ref)
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    model = ptc.get_model("resnet10", init=False)
+    x = np.random.RandomState(0).randn(1, 224, 224, 3).astype(np.float32)
+
+    def forward(state):
+        variables = convert_state_dict(state, model.shape_variables())
+        return np.asarray(
+            model.module.apply(variables, jnp.asarray(x), train=False))
+
+    y_good = forward(sd)
+
+    # Bug 1: swap mean<->var of the stem BN.
+    bn = "features.init_block.conv.bn"
+    swapped = dict(sd)
+    swapped[f"{bn}.running_mean"] = sd[f"{bn}.running_var"]
+    swapped[f"{bn}.running_var"] = np.abs(sd[f"{bn}.running_mean"]) + 0.5
+    # Bug 2: roll one BN's affine scale across channels.
+    rolled = dict(sd)
+    rolled[f"{bn}.weight"] = np.roll(sd[f"{bn}.weight"], 1)
+
+    for bad_sd, label in [(swapped, "mean/var swap"),
+                          (rolled, "channel roll")]:
+        y_bad = forward(bad_sd)
+        err = np.abs(y_bad - y_good).max() / (np.abs(y_good).max() + 1e-9)
+        assert err > 1e-2, f"parity tier blind to BN {label}: err {err:.2e}"

@@ -27,8 +27,16 @@ ERROR_TAG = "0000"  # fixture tag (release names carry the eval error here)
 def main():
     from pytorchcv.models.resnet_cifar import resnet20_cifar10
 
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tests"))
+    from conftest import randomize_stateful_tensors
+
     torch.manual_seed(0)
     net = resnet20_cifar10(pretrained=False)
+    # Pretrained-like BN stats: at init they are channel-uniform constants,
+    # which would make the fixture blind to per-channel BN mis-mapping
+    # (VERDICT r3 item 1).
+    randomize_stateful_tensors(net)
     os.makedirs(FIXTURE_DIR, exist_ok=True)
 
     tmp = os.path.join(FIXTURE_DIR, "_tmp.pth")
