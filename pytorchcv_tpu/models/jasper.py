@@ -28,7 +28,85 @@ from ..nn.base import Composed, conv_kernel_init
 from .registry import register_model
 
 __all__ = ["Jasper", "get_jasper", "CtcDecoder", "NemoMelSpecExtractor",
-           "outmask_fill", "masked_normalize2"]
+           "AudioReader", "batch_waveforms", "outmask_fill",
+           "masked_normalize2"]
+
+
+class AudioReader:
+    """Audio-file ingestion (reference NemoAudioReader, jasper.py:125-190):
+    read audio files into mono float32 arrays at a target sample rate.
+
+    Uses ``soundfile`` when importable (any libsndfile format); otherwise
+    falls back to the stdlib ``wave`` module (PCM 8/16/24/32-bit WAV).
+    Rate conversion is host-side linear interpolation — adequate for the
+    ASR front-end, which immediately lowpasses into 64 mel bands.
+    """
+
+    def __init__(self, desired_audio_sample_rate: int = 16000):
+        self.desired_audio_sample_rate = desired_audio_sample_rate
+
+    def _read_wave(self, path: str):
+        import wave
+
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n_ch = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        if width == 1:      # unsigned 8-bit PCM
+            data = (np.frombuffer(raw, np.uint8).astype(np.float32)
+                    - 128.0) / 128.0
+        elif width == 2:
+            data = np.frombuffer(raw, "<i2").astype(np.float32) / 32768.0
+        elif width == 3:
+            b = np.frombuffer(raw, np.uint8).reshape(-1, 3)
+            i32 = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+                   | (b[:, 2].astype(np.int32) << 16))
+            i32 = np.where(i32 >= 1 << 23, i32 - (1 << 24), i32)
+            data = i32.astype(np.float32) / float(1 << 23)
+        elif width == 4:
+            data = np.frombuffer(raw, "<i4").astype(np.float32) / 2147483648.
+        else:
+            raise ValueError(f"unsupported WAV sample width {width}")
+        return data.reshape(-1, n_ch), sr
+
+    def read_from_file(self, audio_file_path: str) -> np.ndarray:
+        try:
+            from soundfile import SoundFile
+            with SoundFile(audio_file_path, "r") as f:
+                sr = f.samplerate
+                data = f.read(dtype="float32")
+            if data.ndim == 1:
+                data = data[:, None]
+        except ImportError:
+            data, sr = self._read_wave(audio_file_path)
+        data = data.mean(axis=1)            # downmix to mono
+        target_sr = self.desired_audio_sample_rate
+        if sr != target_sr:
+            n_out = int(round(len(data) * target_sr / sr))
+            t_out = np.arange(n_out, dtype=np.float64) * (sr / target_sr)
+            data = np.interp(t_out, np.arange(len(data)), data) \
+                .astype(np.float32)
+        return data
+
+    def read_from_files(self, audio_file_paths) -> List[np.ndarray]:
+        assert type(audio_file_paths) in (list, tuple)
+        return [self.read_from_file(p) for p in audio_file_paths]
+
+
+def batch_waveforms(waves: List[np.ndarray],
+                    pad_multiple: int = 1600) -> Tuple[np.ndarray,
+                                                       np.ndarray]:
+    """Pad a list of mono waveforms to one static-shape ``(B, S)`` batch
+    plus lengths — the input contract of the jitted ASR serving path
+    (static shapes; padding masked by ``outmask_fill``). ``pad_multiple``
+    buckets S to limit recompilation across batches (default 0.1 s)."""
+    n = max(len(w) for w in waves)
+    n = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
+    out = np.zeros((len(waves), n), np.float32)
+    for i, w in enumerate(waves):
+        out[i, :len(w)] = w
+    return out, np.asarray([len(w) for w in waves], np.int32)
 
 
 def outmask_fill(x, x_len, value: float = 0.0):

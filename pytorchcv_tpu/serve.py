@@ -359,6 +359,8 @@ def make_serving_fn(model_name: str, source_hw: Tuple[int, int],
 def make_asr_serving_fn(model_name: str, mode: str = "auto",
                         calib_batches: Optional[Sequence] = None,
                         pretrained: bool = False,
+                        from_files: bool = False,
+                        sample_rate: int = 16000,
                         **model_kwargs) -> Callable:
     """Build a jitted ASR serving closure for the Jasper/QuartzNet zoo:
     ``(waveform f32 (B, n_samples), lengths int32) -> (logits (B, T, 29),
@@ -379,8 +381,16 @@ def make_asr_serving_fn(model_name: str, mode: str = "auto",
     calibration; by default speech-scale random inputs are pushed
     through the model's own front-end so calibration sees the
     deployment feature domain.
+
+    ``from_files=True`` prepends host-side audio ingestion (the
+    reference ``NemoAudioReader`` stage, jasper.py:125-190): the
+    returned closure then takes a list of audio file paths, reads and
+    resamples them to ``sample_rate``, pads to one static-shape batch
+    (``batch_waveforms``) and feeds the jitted waveform path.
     """
     model = get_model(model_name, pretrained=pretrained, **model_kwargs)
+    if from_files and not getattr(model.module, "from_audio", True):
+        raise ValueError("from_files requires a from_audio model")
     from .quant.jasper_int8 import is_plain_jasper
     if mode in ("auto", "int8") and is_plain_jasper(model):
         from .quant import calibrate_int8
@@ -399,18 +409,29 @@ def make_asr_serving_fn(model_name: str, mode: str = "auto",
             calib_batches = [(calib, lens)]
         scales = calibrate_int8(model, calib_batches)
         fn, qtree = prepare_int8_jasper(model, scales)
-        return jax.jit(lambda x, x_len: fn(qtree, x, x_len))
-    if mode == "int8":
-        raise ValueError("int8 ASR serving covers dense-conv Jasper/"
-                         "JasperDR only (QuartzNet's depthwise trunk "
-                         "measured faster in bf16)")
-    if mode not in ("auto", "bf16"):
-        raise ValueError(f"unknown ASR serving mode '{mode}'")
-    bf = model.as_bfloat16()
-    variables = bf.variables
-    module = bf.module
-    return jax.jit(
-        lambda x, x_len: module.apply(variables, x, x_len, train=False))
+        serve = jax.jit(lambda x, x_len: fn(qtree, x, x_len))
+    else:
+        if mode == "int8":
+            raise ValueError("int8 ASR serving covers dense-conv Jasper/"
+                             "JasperDR only (QuartzNet's depthwise trunk "
+                             "measured faster in bf16)")
+        if mode not in ("auto", "bf16"):
+            raise ValueError(f"unknown ASR serving mode '{mode}'")
+        bf = model.as_bfloat16()
+        variables = bf.variables
+        module = bf.module
+        serve = jax.jit(
+            lambda x, x_len: module.apply(variables, x, x_len, train=False))
+    if not from_files:
+        return serve
+    from .models.jasper import AudioReader, batch_waveforms
+    reader = AudioReader(sample_rate)
+
+    def serve_files(paths):
+        x, x_len = batch_waveforms(reader.read_from_files(list(paths)))
+        return serve(jnp.asarray(x), jnp.asarray(x_len))
+
+    return serve_files
 
 
 def _calibrate(model, calib_batches, pre, source_hw):

@@ -214,3 +214,53 @@ def test_asr_serving_end_to_end():
     with pytest.raises(ValueError):
         make_asr_serving_fn("quartznet5x5_en_ls", mode="int8",
                             from_audio=False)
+
+
+def test_audio_reader_and_from_files_serving(tmp_path):
+    """AudioReader (reference NemoAudioReader analog, jasper.py:125-190):
+    stdlib-wave PCM16 read, stereo downmix, 8k->16k resample; and the
+    from_files serving stage feeding the jitted waveform path."""
+    import wave
+
+    from pytorchcv_tpu.models.jasper import AudioReader, batch_waveforms
+    from pytorchcv_tpu.serve import make_asr_serving_fn
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr          # 1 s
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    stereo = np.stack([tone, tone], 1)
+    pcm = (stereo * 32767).astype("<i2")
+    path = tmp_path / "tone.wav"
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+    reader = AudioReader(16000)
+    data = reader.read_from_file(str(path))
+    assert data.dtype == np.float32 and data.ndim == 1
+    assert len(data) == 16000                          # resampled to 1 s
+    # mono downmix of identical channels + linear resample stays a tone
+    ref = 0.5 * np.sin(2 * np.pi * 440.0 *
+                       np.arange(16000, dtype=np.float64) / 16000)
+    # (last sample clamps — np.interp edge behavior)
+    assert np.abs(data - ref)[:-1].max() < 0.02
+
+    # second, shorter file exercises padding
+    path2 = tmp_path / "half.wav"
+    with wave.open(str(path2), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm[:sr // 2, 0].tobytes())
+    waves = reader.read_from_files([str(path), str(path2)])
+    x, x_len = batch_waveforms(waves)
+    assert x.shape[0] == 2 and x.shape[1] % 1600 == 0
+    assert list(x_len) == [16000, 8000]
+
+    serve = make_asr_serving_fn("jasper5x3", from_files=True)
+    logits, lens = serve([str(path), str(path2)])
+    assert logits.shape[0] == 2 and logits.shape[2] == 29
+    assert int(lens[0]) > int(lens[1])
+    assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
