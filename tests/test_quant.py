@@ -478,3 +478,71 @@ class TestSegBackboneInt8:
         # 101 random-init layers accumulate more quant noise than the
         # 18/50-layer cases (>0.995); trained weights behave better.
         assert cos > 0.99, cos
+
+
+class TestPretrainedLikeRobustness:
+    def test_outlier_channel_weights(self):
+        """PTQ robustness on a pretrained-like weight distribution
+        (VERDICT r3 item 8): random-init weights are i.i.d. and easy;
+        pretrained nets carry 10-50x outlier conv channels whose scale
+        the following BN absorbs (post-BN-fold per-channel gains then
+        span orders of magnitude — the known PTQ hard case). Synthesize
+        that on resnet18: boost ~6% of each conv's output channels by
+        U[10, 50] and compensate mean/var in its BN so the f32 network
+        still computes sane activations; per-channel weight scales must
+        hold >=0.99 cosine / >=0.95 decisive-argmax agreement."""
+        import jax.tree_util as jtu
+
+        model = ptc.get_model("resnet18", in_size=(64, 64))
+        rs = np.random.RandomState(0)
+
+        params = jax.tree_util.tree_map(np.asarray,
+                                        model.variables["params"])
+        stats = jax.tree_util.tree_map(np.asarray,
+                                       model.variables["batch_stats"])
+
+        def boost(pcell, scell):
+            k = pcell["conv"]["kernel"]
+            n_out = k.shape[-1]
+            f = np.ones((n_out,), np.float32)
+            idx = rs.choice(n_out, max(1, n_out // 16), replace=False)
+            f[idx] = rs.uniform(10.0, 50.0, len(idx)).astype(np.float32)
+            pcell["conv"]["kernel"] = k * f
+            scell["mean"] = scell["mean"] * f
+            scell["var"] = scell["var"] * f * f
+
+        def walk(p, s):
+            if isinstance(p, dict):
+                if "conv" in p and "bn" in p and \
+                        isinstance(p["conv"], dict) and \
+                        "kernel" in p["conv"] and "mean" in s.get("bn", {}):
+                    boost(p, s["bn"])
+                for key in p:
+                    if key in s:
+                        walk(p[key], s[key])
+
+        walk(params, stats)
+        n_boosted = 0
+        flat_p = jtu.tree_leaves_with_path(params)
+        orig_p = jtu.tree_leaves_with_path(model.variables["params"])
+        for (pa, a), (pb, b) in zip(flat_p, orig_p):
+            if np.asarray(a).shape == np.asarray(b).shape and \
+                    not np.allclose(np.asarray(a), np.asarray(b)):
+                n_boosted += 1
+        assert n_boosted >= 15, n_boosted   # the fixture really bit
+
+        import dataclasses
+        model = dataclasses.replace(
+            model, variables={"params": jtu.tree_map(jnp.asarray, params),
+                              "batch_stats": jtu.tree_map(jnp.asarray,
+                                                          stats)})
+
+        calib = [jax.random.uniform(jax.random.PRNGKey(i), (4, 64, 64, 3))
+                 for i in range(2)]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_resnet(model, scales)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (8, 64, 64, 3))
+        y8 = jax.jit(fn)(qtree, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.99 and agree >= 0.95, (cos, agree)
