@@ -2,16 +2,30 @@
 
 VERDICT r2 item 2 suggested an int8-quantized input feed so the stem
 reads 1-byte pixels. The shipped headline feeds bf16 (B,224,224,3) =
-116 MB/iter at batch 384; a uint8 feed halves that read (~0.07 ms at
-819 GB/s, ~0.45% of the 15.0 ms step) IF XLA fuses the u8->bf16 cast
+116 MB/iter at batch 384; a uint8 feed quarters that read (~0.1 ms at
+819 GB/s, ~0.7% of the 15.0 ms step) IF XLA fuses the u8->bf16 cast
 into the stem conv's input read instead of materializing the cast.
 
 Same scan-chained timing as bench.py (axon block_until_ready does not
-sync; see bench.py docstring).
+sync; see bench.py docstring), same stem-KERNEL perturbation hoisting
+guard (perturbing the 116 MB INPUT would add ~2% of asymmetric HBM
+traffic per arm — the u8 buffer is 4x smaller — biasing the A/B).
+
+ADVICE r3 hardening, both items:
+  * the per-iteration kernel perturbation does NOT prevent XLA from
+    hoisting the loop-invariant u8->bf16 convert of x out of the scan
+    (LICM would then make both arms time identical work). So the
+    compiled HLO of the u8 arm is dumped and the convert op's location
+    is ASSERTED to be inside the while body before the numbers are
+    trusted; the verdict line states it.
+  * the two arms' outputs are compared (final scalar carry, which the
+    sync already computes): a wrong rescale (e.g. dropped 1/255) would
+    otherwise surface only as a plausible-looking perf number.
 """
 
 import functools
 import os
+import re
 import sys
 import time
 
@@ -23,6 +37,26 @@ import numpy as np
 
 BATCH = int(os.environ.get("BENCH_BATCH", "384"))
 ITERS = int(os.environ.get("BENCH_ITERS", "500"))
+
+
+def convert_inside_while(hlo_text: str) -> bool:
+    """True iff the u8 input's widening convert runs per iteration (in a
+    computation other than ENTRY — a while body or a fusion it calls),
+    and NOT once in ENTRY (= hoisted by loop-invariant code motion)."""
+    entry = re.search(r"ENTRY [^\n{]*\{(.*?)\n\}", hlo_text, re.S)
+    entry_text = entry.group(1) if entry else ""
+
+    def has_u8_convert(text: str) -> bool:
+        # a convert op whose operand is the u8 image tensor, e.g.
+        #   bf16[384,224,224,3]{...} convert(u8[384,224,224,3]{...} ...)
+        # (fused form keeps the same "convert(" + "u8[" line shape)
+        return any("convert" in ln and f"u8[{BATCH}" in ln
+                   for ln in text.splitlines())
+
+    if has_u8_convert(entry_text):
+        return False                       # cast materialized once: hoisted
+    rest = hlo_text.replace(entry_text, "")
+    return has_u8_convert(rest)
 
 
 def main():
@@ -60,9 +94,28 @@ def main():
 
     rs = np.random.RandomState(0)
     img = rs.rand(BATCH, 224, 224, 3)
+    u8_cast = lambda x: x.astype(jnp.bfloat16) * jnp.asarray(
+        1 / 255.0, jnp.bfloat16)
 
-    def bench(name, x, cast):
-        run = make_run(cast)
+    # --- ADVICE item 1: assert the convert runs per-iteration ---------
+    run_u8 = make_run(u8_cast)
+    x_u8 = jnp.asarray((img * 255).round(), jnp.uint8)
+    hlo = run_u8.lower(qtree, x_u8, ITERS).compile().as_text()
+    inside = convert_inside_while(hlo)
+    note = ("per-iteration cast - A/B is valid" if inside
+            else "HOISTED by LICM - A/B would measure nothing")
+    print(f"u8 convert inside while body: {inside} ({note})")
+
+    # --- ADVICE item 2: output closeness between arms -----------------
+    run_bf = make_run(lambda x: x)
+    x_bf = jnp.asarray(img, jnp.bfloat16)
+    c_bf = float(run_bf(qtree, x_bf, 4))
+    c_u8 = float(run_u8(qtree, x_u8, 4))
+    rel = abs(c_bf - c_u8) / (abs(c_bf) + 1e-9)
+    print(f"carry bf16={c_bf:.1f} u8={c_u8:.1f} rel={rel:.4f}")
+    assert rel < 0.05, f"arms disagree beyond input-quantization error: {rel}"
+
+    def bench(name, run, x):
         float(run(qtree, x, ITERS))
         best = float("inf")
         for _ in range(3):
@@ -70,13 +123,12 @@ def main():
             float(run(qtree, x, ITERS))
             best = min(best, (time.time() - t0) / ITERS)
         print(f"{name}: {BATCH / best:,.1f} img/s ({best * 1e3:.3f} ms)")
+        return BATCH / best
 
-    bench("bf16 input (shipped)", jnp.asarray(img, jnp.bfloat16),
-          lambda x: x)
-    bench("uint8 input, inline cast",
-          jnp.asarray((img * 255).round(), jnp.uint8),
-          lambda x: x.astype(jnp.bfloat16) * jnp.asarray(1 / 255.0,
-                                                         jnp.bfloat16))
+    r_bf = bench("bf16 input (shipped)", run_bf, x_bf)
+    r_u8 = bench("uint8 input, inline cast", run_u8, x_u8)
+    print(f"verdict: u8/bf16 = {r_u8 / r_bf:.4f} "
+          f"(convert_inside_while={inside})")
 
 
 if __name__ == "__main__":

@@ -1,17 +1,32 @@
 """Regenerate the reference README's Params / FLOPs/2 columns from our zoo.
 
-Usage: python tools/gen_flops_table.py [name ...]
-Defaults to the BASELINE.md representative set. Prints a markdown table
-with our parameter counts and XLA-derived FLOPs/2 (MACs) next to the
-reference's published numbers (pytorchcv_tpu/zoo/metainfo.json).
+Usage:
+    python tools/gen_flops_table.py                    # BASELINE subset
+    python tools/gen_flops_table.py name1 name2 ...    # specific rows
+    python tools/gen_flops_table.py --all              # FULL registry ->
+                                                       #   docs/MODEL_TABLE.md
+
+Emits our exact parameter counts and XLA-cost-analysis MACs (FLOPs/2,
+reference README.md:166 convention) next to the reference's published
+numbers (params from zoo/metainfo.json; FLOPs/2 parsed out of
+/root/reference/README.md:153-818 by caption when the reference tree is
+mounted).
+
+``--all`` sweeps every registered model name. Per-row results cache in
+``docs/.model_table_cache.jsonl`` so the sweep is resumable (rows compile
+one XLA program each; the full registry takes hours on one CPU core).
+A per-row SIGALRM timeout skips models whose CPU compile stalls.
 """
 
+import json
 import os
+import signal
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 
 DEFAULT = [
     "alexnet", "resnet18", "resnet50", "mobilenet_w1", "mobilenetv2_w1",
@@ -20,32 +35,172 @@ DEFAULT = [
     "wrn28_10_cifar10",
 ]
 
+DOCS = os.path.join(os.path.dirname(__file__), "..", "docs")
+CACHE = os.path.join(DOCS, ".model_table_cache.jsonl")
+OUT_MD = os.path.join(DOCS, "MODEL_TABLE.md")
+REF_README = "/root/reference/README.md"
+ROW_TIMEOUT_S = 600
 
-def main(names):
-    import jax
-    jax.config.update("jax_platforms", "cpu")
+
+def parse_reference_flops(path: str = REF_README):
+    """(caption -> FLOPs/2 M, params -> FLOPs/2 M) from every README table.
+
+    Table sections differ in metric columns; the FLOPs/2 cell is robustly
+    the one matching ``[\\d,.]+M``, the params cell the large comma-int,
+    and the caption the first cell. The params map is the fallback for
+    rows whose metainfo caption is NA (CIFAR/SVHN sections) — kept only
+    where one distinct FLOPs value exists for that param count."""
+    import re
+
+    by_caption = {}
+    by_params = {}
+    if not os.path.isfile(path):
+        return by_caption, by_params
+    for line in open(path, encoding="utf-8"):
+        if not line.startswith("| "):
+            continue
+        cells = [c.strip() for c in line.strip().strip("|").split("|")]
+        if len(cells) < 3:
+            continue
+        caption = cells[0]
+        flops = params = None
+        for c in cells[1:]:
+            m = re.fullmatch(r"([\d,]+\.\d+)M", c)
+            if m and flops is None:
+                flops = float(m.group(1).replace(",", ""))
+            m = re.fullmatch(r"([\d,]{5,})", c)
+            if m and params is None:
+                params = int(m.group(1).replace(",", ""))
+        if flops is None:
+            continue
+        by_caption.setdefault(caption, flops)
+        if params is not None:
+            by_params.setdefault(params, set()).add(flops)
+    by_params = {p: next(iter(fs)) for p, fs in by_params.items()
+                 if len(fs) == 1}
+    return by_caption, by_params
+
+
+class _RowTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _RowTimeout()
+
+
+def compute_row(name, ref_flops):
     import pytorchcv_tpu as ptc
     from pytorchcv_tpu.utils.flops import flops2
     from pytorchcv_tpu.zoo.store import get_model_metainfo
 
-    print("| Model | Params (ours) | Params (ref) | FLOPs/2 (ours) | "
-          "FLOPs/2 note |")
-    print("|---|---|---|---|---|")
-    for name in names:
-        model = ptc.get_model(name, init=False)
-        params = model.num_params()
-        try:
-            info = get_model_metainfo(name)
-            ref_params = info.get("params")
-        except KeyError:
-            ref_params = None
-        mf = flops2(model) / 1e6
-        ok = "=" if ref_params == params else "MISMATCH"
-        print(f"| {name} | {params:,} | {ref_params:,} ({ok}) | "
-              f"{mf:,.2f}M | xla cost_analysis |"
-              if ref_params else
-              f"| {name} | {params:,} | n/a | {mf:,.2f}M | xla |")
+    by_caption, by_params = ref_flops
+    model = ptc.get_model(name, init=False)
+    row = {"name": name, "params": model.num_params()}
+    try:
+        info = get_model_metainfo(name)
+        row["ref_params"] = info.get("params")
+        row["in_size"] = info.get("in_size")
+        caption = info.get("caption")
+        if caption and caption in by_caption:
+            row["ref_flops2_m"] = by_caption[caption]
+        elif info.get("params") in by_params:
+            row["ref_flops2_m"] = by_params[info["params"]]
+    except (KeyError, ValueError):
+        pass
+    old = signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(ROW_TIMEOUT_S)
+    try:
+        row["flops2_m"] = round(flops2(model) / 1e6, 2)
+    except _RowTimeout:
+        row["flops2_m"] = None
+        row["note"] = f"compile >{ROW_TIMEOUT_S}s, skipped"
+    except Exception as e:                      # noqa: BLE001
+        row["flops2_m"] = None
+        row["note"] = f"{type(e).__name__}: {e}"[:120]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    return row
+
+
+def _fmt_row(r):
+    ref_p = r.get("ref_params")
+    ours_f = r.get("flops2_m")
+    ref_f = r.get("ref_flops2_m")
+    if ref_p is None:
+        p_cell = "n/a"
+    else:
+        p_cell = f"{ref_p:,} ({'=' if ref_p == r['params'] else 'MISMATCH'})"
+    f_cell = f"{ours_f:,.2f}M" if ours_f else r.get("note", "n/a")
+    if ref_f:
+        delta = f"{(ours_f / ref_f - 1) * 100:+.1f}%" if ours_f else ""
+        rf_cell = f"{ref_f:,.2f}M | {delta}"
+    else:
+        rf_cell = "n/a | "
+    return (f"| {r['name']} | {r['params']:,} | {p_cell} | {f_cell} | "
+            f"{rf_cell} |")
+
+
+HEADER = ("| Model | Params (ours) | Params (ref) | FLOPs/2 (ours, XLA) | "
+          "FLOPs/2 (ref README) | Δ |\n|---|---:|---:|---:|---:|---:|")
+
+
+def main(names, write_md=False):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    ref_flops = parse_reference_flops()
+    cache = {}
+    if write_md and os.path.isfile(CACHE):
+        for line in open(CACHE):
+            r = json.loads(line)
+            cache[r["name"]] = r
+
+    rows = []
+    cache_f = open(CACHE, "a") if write_md else None
+    for i, name in enumerate(names):
+        if name in cache:
+            rows.append(cache[name])
+            continue
+        row = compute_row(name, ref_flops)
+        rows.append(row)
+        if cache_f:
+            cache_f.write(json.dumps(row) + "\n")
+            cache_f.flush()
+            print(f"[{i + 1}/{len(names)}] {row['name']}: "
+                  f"params={row['params']:,} flops2={row.get('flops2_m')}",
+                  flush=True)
+        else:
+            print(_fmt_row(row))
+        if (i + 1) % 20 == 0:
+            jax.clear_caches()
+
+    if write_md:
+        n_match = sum(1 for r in rows
+                      if r.get("ref_params") == r["params"])
+        with open(OUT_MD, "w") as f:
+            f.write(
+                "# Model table (generated)\n\n"
+                "Regenerated analog of the reference README tables "
+                "(reference README.md:153-818): exact parameter counts "
+                "from our zoo and FLOPs/2 (MACs) from XLA cost analysis "
+                "(`utils/flops.py`), against the reference's published "
+                "numbers. Regenerate: `python tools/gen_flops_table.py "
+                "--all`.\n\n"
+                f"{len(rows)} models; {n_match} exact param matches "
+                "against metainfo.\n\n")
+            f.write(HEADER + "\n")
+            for r in rows:
+                f.write(_fmt_row(r) + "\n")
+        print(f"wrote {OUT_MD} ({len(rows)} rows)")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:] or DEFAULT)
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    if "--all" in sys.argv:
+        import pytorchcv_tpu as ptc
+        from pytorchcv_tpu.models.registry import registered_models
+        main(registered_models(), write_md=True)
+    else:
+        main(args or DEFAULT)
