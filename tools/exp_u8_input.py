@@ -72,7 +72,7 @@ def main():
         model, [jax.random.uniform(jax.random.PRNGKey(0), (8, 224, 224, 3))])
     fn, qtree = prepare_int8_resnet(model, scales)
 
-    def make_run(cast):
+    def make_run(cast, perturb_input=False):
         @functools.partial(jax.jit, static_argnums=2)
         def run_n(qtree, x, n):
             def body(carry, i):
@@ -85,7 +85,16 @@ def main():
                 ib["conv"] = conv
                 f["init_block"] = ib
                 qt["features"] = f
-                y = fn(qt, cast(x))
+                xi = x
+                if perturb_input:
+                    # iteration-dependent input in its NATIVE dtype: the
+                    # cast of xi can then not be hoisted out of the loop.
+                    # If the add materializes, it costs a read+write of
+                    # the native buffer — asymmetric across arms (bf16
+                    # 232 MB vs u8 58 MB, ~1.4% in u8's favor) — noted
+                    # in the verdict.
+                    xi = x + (i % 2).astype(x.dtype)
+                y = fn(qt, cast(xi))
                 return carry + y.astype(jnp.float32).sum(), None
             carry, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                                     jnp.arange(n))
@@ -129,6 +138,21 @@ def main():
     r_u8 = bench("uint8 input, inline cast", run_u8, x_u8)
     print(f"verdict: u8/bf16 = {r_u8 / r_bf:.4f} "
           f"(convert_inside_while={inside})")
+
+    # Perturbed-input arms (valid inline-cast measurement when LICM
+    # hoists the invariant cast above): iteration-dependent native-dtype
+    # input pins the cast inside the loop; traffic bias noted in
+    # make_run. Verify on HLO that the convert now runs per-iteration.
+    run_u8p = make_run(u8_cast, perturb_input=True)
+    run_bfp = make_run(lambda x: x, perturb_input=True)
+    hlo_p = run_u8p.lower(qtree, x_u8, ITERS).compile().as_text()
+    inside_p = convert_inside_while(hlo_p)
+    print(f"perturbed arm: u8 convert inside while body: {inside_p}")
+    r_bfp = bench("bf16 input, perturbed", run_bfp, x_bf)
+    r_u8p = bench("uint8 input, perturbed (inline cast)", run_u8p, x_u8)
+    print(f"verdict (perturbed): u8/bf16 = {r_u8p / r_bfp:.4f} "
+          f"(convert_inside_while={inside_p}; u8 arm carries ~1.4% "
+          f"traffic advantage from the smaller perturb buffer)")
 
 
 if __name__ == "__main__":
