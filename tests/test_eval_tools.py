@@ -14,7 +14,8 @@ TOOLS = os.path.join(os.path.dirname(__file__), "..", "tools")
 
 
 @pytest.mark.parametrize("tool", ["eval_seg.py", "eval_pose.py",
-                                  "eval_asr.py", "eval_imagenet.py"])
+                                  "eval_asr.py", "eval_imagenet.py",
+                                  "verify_release.py"])
 def test_eval_tool_selftest(tool):
     argv = sys.argv
     sys.argv = [tool, "--selftest"]

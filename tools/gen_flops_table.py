@@ -146,7 +146,7 @@ HEADER = ("| Model | Params (ours) | Params (ref) | FLOPs/2 (ours, XLA) | "
           "FLOPs/2 (ref README) | Δ |\n|---|---:|---:|---:|---:|---:|")
 
 
-def main(names, write_md=False):
+def main(names, write_md=False, cache_only=False):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -158,10 +158,12 @@ def main(names, write_md=False):
             cache[r["name"]] = r
 
     rows = []
-    cache_f = open(CACHE, "a") if write_md else None
+    cache_f = open(CACHE, "a") if write_md and not cache_only else None
     for i, name in enumerate(names):
         if name in cache:
             rows.append(cache[name])
+            continue
+        if cache_only:
             continue
         row = compute_row(name, ref_flops)
         rows.append(row)
@@ -179,6 +181,8 @@ def main(names, write_md=False):
     if write_md:
         n_match = sum(1 for r in rows
                       if r.get("ref_params") == r["params"])
+        n_na = sum(1 for r in rows if r.get("ref_params") is None)
+        n_bad = len(rows) - n_match - n_na
         with open(OUT_MD, "w") as f:
             f.write(
                 "# Model table (generated)\n\n"
@@ -188,8 +192,9 @@ def main(names, write_md=False):
                 "(`utils/flops.py`), against the reference's published "
                 "numbers. Regenerate: `python tools/gen_flops_table.py "
                 "--all`.\n\n"
-                f"{len(rows)} models; {n_match} exact param matches "
-                "against metainfo.\n\n")
+                f"{len(rows)} models; {n_match} exact param matches, "
+                f"{n_bad} MISMATCHES, {n_na} rows without a registry "
+                "params value (blank in the reference CSV).\n\n")
             f.write(HEADER + "\n")
             for r in rows:
                 f.write(_fmt_row(r) + "\n")
@@ -197,10 +202,14 @@ def main(names, write_md=False):
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--all"]
-    if "--all" in sys.argv:
+    args = [a for a in sys.argv[1:]
+            if a not in ("--all", "--from-cache")]
+    if "--all" in sys.argv or "--from-cache" in sys.argv:
         import pytorchcv_tpu as ptc
         from pytorchcv_tpu.models.registry import registered_models
-        main(registered_models(), write_md=True)
+        # --from-cache renders MODEL_TABLE.md from whatever rows the
+        # (resumable) sweep has cached so far, computing nothing new.
+        main(registered_models(), write_md=True,
+             cache_only="--from-cache" in sys.argv)
     else:
         main(args or DEFAULT)
