@@ -297,8 +297,13 @@ PARITY_CASES = [
      (224, 224), 2e-4, {}),
     ("efficientnet_b1c", "pytorchcv.models.efficientnet", "efficientnet_b1c",
      (240, 240), 2e-4, {}),
+    # b4c: deepest TF-mode variant at 380^2 — with randomized BN stats the
+    # f32 torch-vs-ours drift accumulates to ~2.1e-3 (measured); running
+    # the identical pair in f64 gives rel err 2.0e-12 (2026-08-21), i.e.
+    # the conversion is exact and the residual is rounding, so this case
+    # gates at 5e-3 (still far below any channel-mis-mapping signature).
     ("efficientnet_b4c", "pytorchcv.models.efficientnet", "efficientnet_b4c",
-     (380, 380), 2e-4, {}),
+     (380, 380), 5e-3, {}),
     ("darknet53", "pytorchcv.models.darknet53", "darknet53", (224, 224),
      2e-4, {}),
     ("ghostnet", "pytorchcv.models.ghostnet", "ghostnet", (224, 224),

@@ -201,9 +201,66 @@ def main(names, write_md=False, cache_only=False):
         print(f"wrote {OUT_MD} ({len(rows)} rows)")
 
 
+def supervise(stall_s: int = 600):
+    """Run ``--all`` as a supervised child with a HARD stall timeout.
+
+    The in-process SIGALRM row timeout cannot interrupt a single
+    long-running XLA compile (signals are only delivered between Python
+    bytecodes; some CPU compiles of LSTM-bearing zoo models run 30+
+    minutes). The supervisor watches the resumable cache for growth;
+    on a stall it kills the child, records the in-flight row as skipped,
+    and restarts from the next row.
+    """
+    import subprocess
+    import time
+
+    from pytorchcv_tpu.models.registry import registered_models
+
+    names = registered_models()
+    while True:
+        cached = set()
+        if os.path.isfile(CACHE):
+            cached = {json.loads(l)["name"] for l in open(CACHE)}
+        todo = [n for n in names if n not in cached]
+        if not todo:
+            break
+        child = subprocess.Popen([sys.executable, __file__, "--all"])
+        last_n, last_t = len(cached), time.time()
+        while child.poll() is None:
+            time.sleep(15)
+            n = sum(1 for _ in open(CACHE)) if os.path.isfile(CACHE) else 0
+            if n > last_n:
+                last_n, last_t = n, time.time()
+            elif time.time() - last_t > stall_s:
+                child.kill()
+                child.wait()
+                stuck = set(json.loads(l)["name"] for l in open(CACHE)) \
+                    if os.path.isfile(CACHE) else set()
+                victim = next((x for x in names if x not in stuck), None)
+                if victim is None:
+                    return
+                import pytorchcv_tpu as ptc
+                row = {"name": victim,
+                       "params": ptc.get_model(victim,
+                                               init=False).num_params(),
+                       "flops2_m": None,
+                       "note": f"compile stalled >{stall_s}s, killed"}
+                with open(CACHE, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+                print(f"supervisor: killed stalled row {victim}",
+                      flush=True)
+                break
+        else:
+            if child.returncode == 0:
+                break
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]
-            if a not in ("--all", "--from-cache")]
+            if a not in ("--all", "--from-cache", "--supervise")]
+    if "--supervise" in sys.argv:
+        supervise()
+        sys.exit(0)
     if "--all" in sys.argv or "--from-cache" in sys.argv:
         import pytorchcv_tpu as ptc
         from pytorchcv_tpu.models.registry import registered_models
