@@ -286,17 +286,17 @@ if __name__ == "__main__":
     args = ap.parse_args()
 
     if args.selftest:
-        _selftest()
-        sys.exit(0)
-
-    names = args.names
-    if args.dataset:
-        from pytorchcv_tpu.zoo.store import get_model_metainfo_dict
-        names += [n for n, r in sorted(get_model_metainfo_dict().items())
-                  if r.get("dataset") == args.dataset
-                  and published_metric(r)]
-    if not names:
-        ap.error("give model names, --dataset, or --selftest")
-    bad = sum(r["status"] == "FAIL"
-              for r in verify(names, args.data, args.tol, args.batch))
-    sys.exit(1 if bad else 0)
+        _selftest()          # no sys.exit: runpy-driven in CI
+    else:
+        names = args.names
+        if args.dataset:
+            from pytorchcv_tpu.zoo.store import get_model_metainfo_dict
+            names += [n for n, r in
+                      sorted(get_model_metainfo_dict().items())
+                      if r.get("dataset") == args.dataset
+                      and published_metric(r)]
+        if not names:
+            ap.error("give model names, --dataset, or --selftest")
+        bad = sum(r["status"] == "FAIL"
+                  for r in verify(names, args.data, args.tol, args.batch))
+        sys.exit(1 if bad else 0)
