@@ -27,12 +27,16 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["IMAGENET_MEAN", "IMAGENET_STD", "resize_matrices",
-           "preprocess_batch", "classification_preprocess",
-           "segmentation_preprocess"]
+__all__ = ["IMAGENET_MEAN", "IMAGENET_STD", "CIFAR_MEAN", "CIFAR_STD",
+           "resize_matrices", "eval_protocol", "preprocess_batch",
+           "classification_preprocess", "segmentation_preprocess"]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
+# Standard CIFAR-10 statistics (the reference's CIFAR/SVHN training stack;
+# its eval protocol is ToTensor+Normalize only — no resize, no crop).
+CIFAR_MEAN = (0.4914, 0.4822, 0.4465)
+CIFAR_STD = (0.2023, 0.1994, 0.2010)
 
 
 def _pil_bilinear_matrix(in_size: int, out_size: int) -> np.ndarray:
@@ -186,27 +190,77 @@ def preprocess_batch(images, r, ct, mean: Tuple[float, ...] = IMAGENET_MEAN,
     return (y * a + b).astype(out_dtype)
 
 
+def eval_protocol(model_name: str, model_in_size=None):
+    """Dataset -> eval-geometry dispatch for the classification zoo.
+
+    The reference encodes the protocol per row in its metainfo CSV
+    (model_metainfos.csv cols test_dataset/img_size/img_scale; prose in
+    reference README.md:157-167): ImageNet/CUB rows evaluate with
+    resize-short-side(round(size/scale)) + center-crop, while the
+    CIFAR/SVHN rows (dataset 'cf', NA img_size) feed the native 32x32
+    directly — ToTensor + CIFAR Normalize only, no resize, no crop.
+
+    Returns ``(mode, crop_hw, scale, mean, std)`` with mode in
+    {'resize_crop', 'direct'}. A null metainfo ``in_size`` resolves from
+    ``model_in_size`` (the constructor's declared input size) — it NEVER
+    defaults to 224: the 242 CIFAR/SVHN rows all carry null in_size and a
+    224 default silently mis-serves every one of them.
+    """
+    from ..zoo.store import get_model_metainfo_dict
+    info = get_model_metainfo_dict().get(model_name) or {}
+    in_size = info.get("in_size")
+    if in_size:
+        crop_hw = (int(in_size), int(in_size))
+    elif model_in_size is not None:
+        if isinstance(model_in_size, int):
+            crop_hw = (model_in_size, model_in_size)
+        else:
+            crop_hw = (int(model_in_size[0]), int(model_in_size[1]))
+    else:
+        raise ValueError(
+            f"{model_name!r}: metainfo in_size is null — pass the model's "
+            f"constructor in_size via model_in_size (never defaults to 224)")
+    if info.get("dataset") == "cf":
+        return ("direct", crop_hw, 1.0, CIFAR_MEAN, CIFAR_STD)
+    scale = float(info.get("scale") or 0.875)
+    return ("resize_crop", crop_hw, scale, IMAGENET_MEAN, IMAGENET_STD)
+
+
 def classification_preprocess(model_name_or_size, in_hw: Tuple[int, int],
                               out_dtype=jnp.bfloat16,
                               use_pallas: Optional[bool] = None,
-                              layout: str = "nhwc"):
+                              layout: str = "nhwc",
+                              model_in_size=None):
     """Build a jitted ``batch_u8 -> model input`` closure for a zoo model.
 
-    Looks up (img_size, scale) in the metainfo registry when given a name
-    (reference model_metainfos.csv cols img_size/img_scale)."""
+    Given a name, dispatches the eval protocol per dataset via
+    ``eval_protocol`` (reference model_metainfos.csv cols
+    test_dataset/img_size/img_scale): resize+crop for ImageNet/CUB rows,
+    direct-feed (PIL-bilinear resize to the native size iff the source
+    differs; identity matrices otherwise) + CIFAR normalize for the
+    CIFAR/SVHN rows. ``model_in_size`` supplies the constructor's input
+    size for rows whose metainfo ``in_size`` is null."""
     if isinstance(model_name_or_size, str):
-        from ..zoo.store import get_model_metainfo
-        info = get_model_metainfo(model_name_or_size)
-        crop = int(info.get("in_size") or 224)
-        scale = float(info.get("scale") or 0.875)
+        mode, crop_hw, scale, mean, std = eval_protocol(
+            model_name_or_size, model_in_size)
     else:
-        crop, scale = model_name_or_size, 0.875
-    r, c = resize_matrices(in_hw, crop, scale)
+        mode, crop_hw = "resize_crop", (model_name_or_size,) * 2
+        scale, mean, std = 0.875, IMAGENET_MEAN, IMAGENET_STD
+    if mode == "direct":
+        # Direct feed: separable PIL-bilinear straight to the native size
+        # (identity matrices when in_hw == crop_hw — bit-exact passthrough
+        # through the same matmul path).
+        r = _pil_bilinear_matrix(in_hw[0], crop_hw[0])
+        c = _pil_bilinear_matrix(in_hw[1], crop_hw[1])
+    else:
+        r, c = resize_matrices(in_hw, crop_hw, scale)
     r = jnp.asarray(r)
     ct = jnp.asarray(c.T)
+    mean, std = tuple(mean), tuple(std)
 
     def run(images_u8):
-        return preprocess_batch(images_u8, r, ct, out_dtype=out_dtype,
+        return preprocess_batch(images_u8, r, ct, mean=mean, std=std,
+                                out_dtype=out_dtype,
                                 use_pallas=use_pallas, layout=layout)
 
     return run

@@ -77,6 +77,51 @@ def test_vgg_serving_end_to_end():
     assert bool(jnp.all(jnp.isfinite(logits.astype(jnp.float32))))
 
 
+def test_eval_protocol_dispatch():
+    """Dataset->protocol table (VERDICT r4 item 1): ImageNet rows keep
+    resize+crop; CIFAR/SVHN rows (null metainfo in_size) are direct-fed at
+    the ctor size with CIFAR normalization; null in_size NEVER defaults
+    to 224."""
+    import pytest
+    from pytorchcv_tpu.kernels.preprocess import (CIFAR_MEAN, IMAGENET_MEAN,
+                                                  eval_protocol)
+
+    mode, crop, scale, mean, _ = eval_protocol("resnet50")
+    assert (mode, crop, scale) == ("resize_crop", (224, 224), 0.875)
+    assert mean == IMAGENET_MEAN
+
+    mode, crop, scale, mean, _ = eval_protocol("resnet20_cifar10",
+                                               model_in_size=(32, 32))
+    assert (mode, crop) == ("direct", (32, 32))
+    assert mean == CIFAR_MEAN
+
+    # CUB rows: null in_size, ImageNet-style protocol at the ctor size
+    mode, crop, _, mean, _ = eval_protocol("resnet10_cub",
+                                           model_in_size=(224, 224))
+    assert (mode, crop) == ("resize_crop", (224, 224))
+    assert mean == IMAGENET_MEAN
+
+    # null in_size with no ctor fallback must be an error, not 224
+    with pytest.raises(ValueError):
+        eval_protocol("resnet20_cifar10")
+
+
+def test_cifar_serving_direct_feed():
+    """A 32x32-trained CIFAR net must be served the 32x32 direct-feed
+    protocol: 32x32 source passes through bit-identically (identity
+    interpolation matrices) and the pipeline agrees with the f32 direct
+    forward (the assertion that catches the 224-crop bug)."""
+    serve = make_serving_fn("resnet20_cifar10", source_hw=(32, 32))
+    raw = np.random.RandomState(4).randint(0, 256, (2, 32, 32, 3), np.uint8)
+    logits = serve(jnp.asarray(raw))
+    assert logits.shape == (2, 10)
+    ref = serve.make_reference_forward()(jnp.asarray(raw))
+    a = np.asarray(logits, np.float32).ravel()
+    b = np.asarray(ref, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.95, cos
+
+
 def test_plain_resnet_detector():
     assert _is_plain_resnet(
         ptc.get_model("resnet10", in_size=(64, 64)).variables)
