@@ -29,6 +29,18 @@ def test_metainfo_lookup():
         store.get_model_metainfo("not_a_model")
 
 
+def test_metainfo_release_row_census():
+    """The registry must carry ALL 594 released-weight rows of the
+    reference CSV (the CSV contains a stray all-NA duplicate of
+    `irevnet301` after its released row; round-4 ingestion let the NA
+    duplicate win and silently dropped those weights — VERDICT r4 item 8)."""
+    meta = store.get_model_metainfo_dict()
+    assert sum(1 for v in meta.values() if v.get("sha1")) == 594
+    row = meta["irevnet301"]
+    assert row["sha1"] == "d378865f937472907a78b9832c46ec7fe8893fdc"
+    assert row["release"] == "v0.0.564" and row["dataset"] == "in1k"
+
+
 def test_sha1_check(tmp_path):
     p = tmp_path / "blob.bin"
     p.write_bytes(b"hello world")

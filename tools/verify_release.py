@@ -183,9 +183,16 @@ def verify_one(name, data_root, tol, batch=None):
             return {"name": name, "status": "SKIP", "note": f"dataset {ds}"}
     except FileNotFoundError as e:
         return {"name": name, "status": "NODATA", "note": str(e)}
+    except Exception as e:                      # noqa: BLE001
+        # One bad row (sha1 mismatch, conversion error, evaluator crash)
+        # must not abort the whole --dataset sweep (ADVICE r4).
+        return {"name": name, "status": "ERROR", "note": repr(e)[:200]}
 
     measured = res[kind] if kind in res else res.get(
         {"miou": "mIoU", "oks_ap": "AP", "wer": "wer"}.get(kind, kind))
+    if measured is None:
+        return {"name": name, "status": "ERROR",
+                "note": f"metric {kind!r} missing from {sorted(res)}"}
     delta = measured - pub_val
     ok = _gate(measured, pub_val, higher, tol)
     return {"name": name, "dataset": ds, "metric": kind,
@@ -297,6 +304,6 @@ if __name__ == "__main__":
                       and published_metric(r)]
         if not names:
             ap.error("give model names, --dataset, or --selftest")
-        bad = sum(r["status"] == "FAIL"
+        bad = sum(r["status"] in ("FAIL", "ERROR")
                   for r in verify(names, args.data, args.tol, args.batch))
         sys.exit(1 if bad else 0)
