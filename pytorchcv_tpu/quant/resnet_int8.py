@@ -296,6 +296,12 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False,
                 nxt = f"features/{stage_names[si+1]}/unit1/body/conv1/conv"
             s_next = sc(nxt) if nxt else None
             has_se = "se" in uq
+            # q_residual may be a bool (whole net) or a collection of
+            # stage names (e.g. {"stage1","stage2"}: quantized-domain
+            # residual carry only in the HBM-bound early stages).
+            use_qres = (q_residual is True or
+                        (not isinstance(q_residual, bool) and
+                         stage in q_residual))
             if bottleneck:
                 grouped = ("gmerge" in body["conv2"] or
                            body["conv2"]["wq"].shape[2] !=
@@ -316,7 +322,7 @@ def _forward(qtree, x, scales, conv1_stride, q_residual=False,
                 t = _cell(xq, s_in, body["conv1"], stride, True,
                           sc(f"{prefix}/conv2/conv"))
                 last_cell, s_last = body["conv2"], sc(f"{prefix}/conv2/conv")
-            if nxt is None or not q_residual or has_se:
+            if nxt is None or not use_qres or has_se:
                 # bf16-domain residual add (default: measured faster on
                 # v5e — int8 elementwise adds widen to int32 on the VPU
                 # and break the conv epilogue fusion).
@@ -385,6 +391,9 @@ def prepare_int8_resnet(model, scales: Dict[str, float],
     ``group_block``: grouped 3x3 kernels (ResNeXt/SENet) with fewer than
     this many channels per group are densified into one block-diagonal
     dense conv (see ``_merge_grouped_weights``); None disables.
+    ``q_residual``: True for quantized-domain residual adds everywhere,
+    or a collection of stage names ({"stage1", "stage2"}) to restrict the
+    carry to specific stages.
     """
     c1s = _resolve_conv1_stride(model, conv1_stride)
     params = model.variables["params"]

@@ -306,6 +306,14 @@ class TestResnetInt8Pipeline:
         yf = model(x)
         cos, agree = _agreement(y8, yf)
         assert cos > 0.99 and agree == 1.0, (cos, agree)
+        # per-stage restriction (measured-and-rejected for the headline —
+        # exp_residual_fusion.py — but a supported config): quantized
+        # residual carry in stages 1-2 only
+        fn12, qtree12 = prepare_int8_resnet(
+            model, scales, q_residual={"stage1", "stage2"})
+        y12 = jax.jit(fn12)(qtree12, x)
+        cos, agree = _agreement(y12, yf)
+        assert cos > 0.99 and agree == 1.0, (cos, agree)
 
 
 class TestPreResnetInt8Pipeline:

@@ -7,6 +7,8 @@ Representative models are chosen per family as they land; each new family
 should add itself to PARITY_CASES.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -357,7 +359,7 @@ PARITY_CASES = [
 F64_CASES = {"lffd20x5s320v2_widerface"}
 
 
-def _forward_pair(name, ref_module, ref_ctor, size, kwargs):
+def _forward_pair(name, ref_module, ref_ctor, size, kwargs, force_f64=False):
     import importlib
 
     import torch
@@ -372,7 +374,7 @@ def _forward_pair(name, ref_module, ref_ctor, size, kwargs):
     torch.manual_seed(0)
     ref = getattr(mod, ref_ctor)(pretrained=False, **kwargs).eval()
     randomize_stateful_tensors(ref)
-    use_f64 = name in F64_CASES
+    use_f64 = force_f64 or name in F64_CASES
     if use_f64:
         jax.config.update("jax_enable_x64", True)
         ref = ref.double()
@@ -469,6 +471,22 @@ def test_forward_parity(name, ref_module, ref_ctor, size, tol, kwargs):
         scale = np.abs(b).max() + 1e-9
         err = np.abs(a - b).max() / scale
         assert err < tol, f"{name}: rel err {err:.2e} >= {tol}"
+
+
+@pytest.mark.skipif(not os.environ.get("PARITY_FULL"),
+                    reason="PARITY_FULL tier only (slow 380^2 f64 forward)")
+def test_efficientnet_b4c_parity_f64():
+    """The b4c f32 gate is loosened to 5e-3 on the f64 evidence that the
+    residual is pure rounding (rel err 2.0e-12 measured 2026-08-21). This
+    keeps that claim continuously verified instead of living in a comment
+    (ADVICE r4): in f64 the converted pair must agree to <=1e-9."""
+    y, y_ref = _forward_pair(
+        "efficientnet_b4c", "pytorchcv.models.efficientnet",
+        "efficientnet_b4c", (380, 380), {}, force_f64=True)
+    a = _to_np_nchw(y, is_torch=False)
+    b = _to_np_nchw(y_ref, is_torch=True)
+    err = np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+    assert err < 1e-9, f"f64 rel err {err:.2e} — conversion no longer exact"
 
 
 def test_parity_tier_catches_bn_misconversion():

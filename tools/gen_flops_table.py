@@ -6,16 +6,19 @@ Usage:
     python tools/gen_flops_table.py --all              # FULL registry ->
                                                        #   docs/MODEL_TABLE.md
 
-Emits our exact parameter counts and XLA-cost-analysis MACs (FLOPs/2,
-reference README.md:166 convention) next to the reference's published
-numbers (params from zoo/metainfo.json; FLOPs/2 parsed out of
-/root/reference/README.md:153-818 by caption when the reference tree is
-mounted).
+Emits our exact parameter counts and analytic FLOPs/2 (pre-fusion jaxpr
+traversal, ``utils/flops.py:analytic_flops`` — the imgclsmob hook-counter
+convention behind the reference README's published column, reference
+README.md:166) next to the reference's published numbers (params from
+zoo/metainfo.json; FLOPs/2 parsed out of /root/reference/README.md:153-818
+by caption when the reference tree is mounted). ``--xla`` switches to the
+old post-fusion ``cost_analysis`` counter (systematically ~4% low — kept
+for comparison).
 
 ``--all`` sweeps every registered model name. Per-row results cache in
-``docs/.model_table_cache.jsonl`` so the sweep is resumable (rows compile
-one XLA program each; the full registry takes hours on one CPU core).
-A per-row SIGALRM timeout skips models whose CPU compile stalls.
+``docs/.model_table_cache_analytic.jsonl`` so the sweep is resumable.
+Analytic rows only TRACE (no XLA compile) — even the 1001/1202-layer
+CIFAR variants count in seconds.
 """
 
 import json
@@ -36,10 +39,12 @@ DEFAULT = [
 ]
 
 DOCS = os.path.join(os.path.dirname(__file__), "..", "docs")
-CACHE = os.path.join(DOCS, ".model_table_cache.jsonl")
+CACHE = os.path.join(DOCS, ".model_table_cache_analytic.jsonl")
+CACHE_XLA = os.path.join(DOCS, ".model_table_cache.jsonl")
 OUT_MD = os.path.join(DOCS, "MODEL_TABLE.md")
 REF_README = "/root/reference/README.md"
 ROW_TIMEOUT_S = 600
+USE_XLA = False
 
 
 def parse_reference_flops(path: str = REF_README):
@@ -91,7 +96,7 @@ def _alarm(signum, frame):
 
 def compute_row(name, ref_flops):
     import pytorchcv_tpu as ptc
-    from pytorchcv_tpu.utils.flops import flops2
+    from pytorchcv_tpu.utils.flops import analytic_flops, flops2
     from pytorchcv_tpu.zoo.store import get_model_metainfo
 
     by_caption, by_params = ref_flops
@@ -111,7 +116,14 @@ def compute_row(name, ref_flops):
     old = signal.signal(signal.SIGALRM, _alarm)
     signal.alarm(ROW_TIMEOUT_S)
     try:
-        row["flops2_m"] = round(flops2(model) / 1e6, 2)
+        if USE_XLA:
+            row["flops2_m"] = round(flops2(model) / 1e6, 2)
+        else:
+            counts = analytic_flops(model)
+            row["flops2_m"] = round(counts["flops"] / 2.0 / 1e6, 2)
+            row["macs_m"] = round(counts["macs"] / 1e6, 2)
+            if counts["unknown"]:
+                row["note"] = f"guessed prims: {counts['unknown']}"[:120]
     except _RowTimeout:
         row["flops2_m"] = None
         row["note"] = f"compile >{ROW_TIMEOUT_S}s, skipped"
@@ -142,8 +154,22 @@ def _fmt_row(r):
             f"{rf_cell} |")
 
 
-HEADER = ("| Model | Params (ours) | Params (ref) | FLOPs/2 (ours, XLA) | "
+HEADER = ("| Model | Params (ours) | Params (ref) | FLOPs/2 (ours, analytic) | "
           "FLOPs/2 (ref README) | Δ |\n|---|---:|---:|---:|---:|---:|")
+
+
+def _read_cache(path):
+    """name->row from a resumable JSONL cache, tolerating a truncated
+    trailing line (a supervised child can be killed mid-append)."""
+    rows = {}
+    if os.path.isfile(path):
+        for line in open(path):
+            try:
+                r = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            rows[r["name"]] = r
+    return rows
 
 
 def main(names, write_md=False, cache_only=False):
@@ -151,11 +177,7 @@ def main(names, write_md=False, cache_only=False):
     jax.config.update("jax_platforms", "cpu")
 
     ref_flops = parse_reference_flops()
-    cache = {}
-    if write_md and os.path.isfile(CACHE):
-        for line in open(CACHE):
-            r = json.loads(line)
-            cache[r["name"]] = r
+    cache = _read_cache(CACHE) if write_md else {}
 
     rows = []
     cache_f = open(CACHE, "a") if write_md and not cache_only else None
@@ -183,18 +205,31 @@ def main(names, write_md=False, cache_only=False):
                       if r.get("ref_params") == r["params"])
         n_na = sum(1 for r in rows if r.get("ref_params") is None)
         n_bad = len(rows) - n_match - n_na
+        deltas = sorted(
+            (abs(r["flops2_m"] / r["ref_flops2_m"] - 1), r["name"])
+            for r in rows
+            if r.get("flops2_m") and r.get("ref_flops2_m"))
+        n_pub = len(deltas)
+        n_1pct = sum(1 for d, _ in deltas if d <= 0.01)
+        n_2pct = sum(1 for d, _ in deltas if d <= 0.02)
+        med = deltas[n_pub // 2][0] * 100 if deltas else float("nan")
+        worst = ", ".join(f"{n} {d * 100:.1f}%" for d, n in deltas[-5:])
         with open(OUT_MD, "w") as f:
             f.write(
                 "# Model table (generated)\n\n"
                 "Regenerated analog of the reference README tables "
                 "(reference README.md:153-818): exact parameter counts "
-                "from our zoo and FLOPs/2 (MACs) from XLA cost analysis "
-                "(`utils/flops.py`), against the reference's published "
-                "numbers. Regenerate: `python tools/gen_flops_table.py "
-                "--all`.\n\n"
+                "from our zoo and analytic FLOPs/2 (pre-fusion jaxpr "
+                "traversal, `utils/flops.py:analytic_flops` — the "
+                "imgclsmob hook-counter convention behind the published "
+                "column), against the reference's published numbers. "
+                "Regenerate: `python tools/gen_flops_table.py --all`.\n\n"
                 f"{len(rows)} models; {n_match} exact param matches, "
                 f"{n_bad} MISMATCHES, {n_na} rows without a registry "
-                "params value (blank in the reference CSV).\n\n")
+                "params value (blank in the reference CSV).\n\n"
+                f"FLOPs/2 vs the {n_pub} published rows: median |Δ| "
+                f"{med:.2f}%, {n_1pct} within 1%, {n_2pct} within 2%. "
+                f"Largest deltas: {worst}.\n\n")
             f.write(HEADER + "\n")
             for r in rows:
                 f.write(_fmt_row(r) + "\n")
@@ -216,11 +251,19 @@ def supervise(stall_s: int = 600):
 
     from pytorchcv_tpu.models.registry import registered_models
 
+    def _skip_row(victim, note):
+        import pytorchcv_tpu as ptc
+        row = {"name": victim,
+               "params": ptc.get_model(victim, init=False).num_params(),
+               "flops2_m": None, "note": note}
+        with open(CACHE, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        print(f"supervisor: skipped row {victim} ({note})", flush=True)
+
     names = registered_models()
+    crashes_without_growth = 0
     while True:
-        cached = set()
-        if os.path.isfile(CACHE):
-            cached = {json.loads(l)["name"] for l in open(CACHE)}
+        cached = set(_read_cache(CACHE))
         todo = [n for n in names if n not in cached]
         if not todo:
             break
@@ -228,36 +271,48 @@ def supervise(stall_s: int = 600):
         last_n, last_t = len(cached), time.time()
         while child.poll() is None:
             time.sleep(15)
-            n = sum(1 for _ in open(CACHE)) if os.path.isfile(CACHE) else 0
+            n = len(_read_cache(CACHE))
             if n > last_n:
                 last_n, last_t = n, time.time()
             elif time.time() - last_t > stall_s:
                 child.kill()
                 child.wait()
-                stuck = set(json.loads(l)["name"] for l in open(CACHE)) \
-                    if os.path.isfile(CACHE) else set()
+                stuck = set(_read_cache(CACHE))
                 victim = next((x for x in names if x not in stuck), None)
                 if victim is None:
                     return
-                import pytorchcv_tpu as ptc
-                row = {"name": victim,
-                       "params": ptc.get_model(victim,
-                                               init=False).num_params(),
-                       "flops2_m": None,
-                       "note": f"compile stalled >{stall_s}s, killed"}
-                with open(CACHE, "a") as f:
-                    f.write(json.dumps(row) + "\n")
-                print(f"supervisor: killed stalled row {victim}",
-                      flush=True)
+                _skip_row(victim, f"compile stalled >{stall_s}s, killed")
                 break
         else:
+            # child exited on its own (clean, or a hard crash the
+            # in-process exception handler could not catch)
             if child.returncode == 0:
                 break
+            if len(_read_cache(CACHE)) > len(cached):
+                crashes_without_growth = 0
+            else:
+                crashes_without_growth += 1
+                if crashes_without_growth >= 2:
+                    # same row hard-crashes the child repeatedly (segfault
+                    # or OOM inside a single uninterruptible call): record
+                    # it as skipped instead of respawning forever
+                    victim = next(
+                        (x for x in names if x not in _read_cache(CACHE)),
+                        None)
+                    if victim is None:
+                        return
+                    _skip_row(victim,
+                              f"child crashed (rc={child.returncode}) "
+                              "twice with no progress")
+                    crashes_without_growth = 0
 
 
 if __name__ == "__main__":
+    if "--xla" in sys.argv:
+        USE_XLA = True
+        CACHE = CACHE_XLA
     args = [a for a in sys.argv[1:]
-            if a not in ("--all", "--from-cache", "--supervise")]
+            if a not in ("--all", "--from-cache", "--supervise", "--xla")]
     if "--supervise" in sys.argv:
         supervise()
         sys.exit(0)
