@@ -24,6 +24,16 @@ MEASURED (v5e via axon tunnel):
     240x432 host_buffers=True: 35.61 s -> 0.67 frames/s — every window
       round-trips input/result bytes over the ~20-35 MB/s tunnel;
       host buffering only pays on latency-bound-but-wide links.
+  2026-08-21 (round 5, CPU time-shared with the SERVE_FULL sweep):
+    240x432 host_buffers=False: 1.56 s -> **15.35 frames/s** (2.5x the
+      r3 figure). The r3 SoftSplit/SoftComp-as-single-convs + static FFN
+      normalizer rework (7085740) landed AFTER the 6.17 f/s measurement
+      and was never re-measured e2e; the transformer window is now
+      196 ms device-only / 220 ms dispatch-style at t=19/l_t=11
+      (tools/exp_pp_accounting.py — which also showed the old
+      per-submodule figures each carried ~1 tunnel RTT).
+    240x432 host_buffers=True: 39.94 s -> 0.60 frames/s (unchanged
+      tunnel-width bound).
 """
 
 import os
