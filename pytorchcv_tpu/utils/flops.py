@@ -114,12 +114,17 @@ def _count_eqn(eqn, counts, mult):
     if prim == "conv_general_dilated":
         # MACs = out positions x (kernel_spatial x in_ch / groups).
         # Kernel shape already encodes in_ch/groups in its input-feature dim.
+        # Transposed convs lower to lhs_dilation>1: (d-1)/d of the dilated
+        # input taps are structural zeros, so the honest MAC count divides
+        # by prod(lhs_dilation) (equivalently: input-centric
+        # in_pos x k x Cout/groups).
         rhs = eqn.invars[1].aval.shape
         dn = eqn.params["dimension_numbers"]
         rhs_spec = dn.rhs_spec  # (out_ch_dim, in_ch_dim, *spatial)
         k_in = rhs[rhs_spec[1]]
         k_spatial = _numel([rhs[d] for d in rhs_spec[2:]])
-        macs = out_n * k_spatial * k_in
+        lhs_dil = _numel(eqn.params.get("lhs_dilation") or (1,))
+        macs = out_n * k_spatial * k_in // lhs_dil
         counts["macs"] += mult * macs
         counts["flops"] += mult * 2 * macs
     elif prim == "dot_general":

@@ -107,9 +107,15 @@ def compute_row(name, ref_flops):
         row["ref_params"] = info.get("params")
         row["in_size"] = info.get("in_size")
         caption = info.get("caption")
-        if caption and caption in by_caption:
+        if caption and caption != "NA" and caption in by_caption:
             row["ref_flops2_m"] = by_caption[caption]
-        elif info.get("params") in by_params:
+        elif (caption in (None, "NA")
+                and info.get("params") in by_params):
+            # params fallback ONLY for caption-less rows (CIFAR/SVHN
+            # sections): a named variant absent from the README must NOT
+            # inherit a sibling's row — sepreresnet50 shares its param
+            # count with sepreresnet50b (stride position is param-free)
+            # but not its FLOPs (4,113.27M vs our exact 3,888.37M).
             row["ref_flops2_m"] = by_params[info["params"]]
     except (KeyError, ValueError):
         pass
@@ -158,6 +164,45 @@ HEADER = ("| Model | Params (ours) | Params (ref) | FLOPs/2 (ours, analytic) | "
           "FLOPs/2 (ref README) | Δ |\n|---|---:|---:|---:|---:|---:|")
 
 
+def _reattribute_refs(rows, ref_flops):
+    """Re-derive every row's published FLOPs/2 with the global view:
+    caption match first; params fallback only when the param count
+    determines FLOPs among OUR candidates (<=1% spread) — stride-variant
+    pairs (sepreresnet50 vs 50b) share params but not FLOPs and must not
+    inherit each other's README row."""
+    from collections import defaultdict
+
+    from pytorchcv_tpu.zoo.store import get_model_metainfo
+
+    by_cap, by_par = ref_flops
+    by_params_ours = defaultdict(list)
+    metas = {}
+    for r in rows:
+        try:
+            metas[r["name"]] = info = get_model_metainfo(r["name"])
+        except (KeyError, ValueError):
+            continue
+        if info.get("params") and r.get("flops2_m"):
+            by_params_ours[info["params"]].append(r["flops2_m"])
+    for r in rows:
+        info = metas.get(r["name"])
+        if info is None:
+            continue
+        caption, p = info.get("caption"), info.get("params")
+        new = None
+        if caption and caption != "NA" and caption in by_cap:
+            new = by_cap[caption]
+        elif p in by_par:
+            ours = by_params_ours.get(p, [])
+            if ours and max(ours) <= min(ours) * 1.01:
+                new = by_par[p]
+        if new is None:
+            r.pop("ref_flops2_m", None)
+        else:
+            r["ref_flops2_m"] = new
+    return rows
+
+
 def _read_cache(path):
     """name->row from a resumable JSONL cache, tolerating a truncated
     trailing line (a supervised child can be killed mid-append)."""
@@ -201,14 +246,41 @@ def main(names, write_md=False, cache_only=False):
             jax.clear_caches()
 
     if write_md:
+        _reattribute_refs(rows, ref_flops)
         n_match = sum(1 for r in rows
                       if r.get("ref_params") == r["params"])
         n_na = sum(1 for r in rows if r.get("ref_params") is None)
         n_bad = len(rows) - n_match - n_na
-        deltas = sorted(
-            (abs(r["flops2_m"] / r["ref_flops2_m"] - 1), r["name"])
-            for r in rows
-            if r.get("flops2_m") and r.get("ref_flops2_m"))
+        from pytorchcv_tpu.zoo.store import get_model_metainfo
+
+        def _dataset(name):
+            try:
+                return get_model_metainfo(name).get("dataset")
+            except (KeyError, ValueError):
+                return None
+
+        # ASR rows: FLOPs are linear in audio length; ours documents a
+        # 1 s / 16 kHz input, the published column implies a ~4.6 s
+        # utterance (quartznet15x5_en 4,840.29M / our 1,063.64M per-1s) —
+        # a units convention, excluded from the accuracy statistics.
+        asr = {r["name"] for r in rows if _dataset(r["name"]) == "mcv"}
+
+        def _documented_mismatch(name):
+            # published value demonstrably does not follow the
+            # architecture / the hook-counter convention (see the notes
+            # below the summary)
+            return (name in asr or
+                    name.startswith(("simplepose_", "centernet_",
+                                     "danet_", "sinet_")) or
+                    re.match(r"dia(pre)?resnet1(10|64bn)_", name))
+
+        import re
+        all_d = [(abs(r["flops2_m"] / r["ref_flops2_m"] - 1), r["name"])
+                 for r in rows
+                 if r.get("flops2_m") and r.get("ref_flops2_m")]
+        deltas = sorted((d, n) for d, n in all_d
+                        if not _documented_mismatch(n))
+        n_doc = len(all_d) - len(deltas)
         n_pub = len(deltas)
         n_1pct = sum(1 for d, _ in deltas if d <= 0.01)
         n_2pct = sum(1 for d, _ in deltas if d <= 0.02)
@@ -227,9 +299,53 @@ def main(names, write_md=False, cache_only=False):
                 f"{len(rows)} models; {n_match} exact param matches, "
                 f"{n_bad} MISMATCHES, {n_na} rows without a registry "
                 "params value (blank in the reference CSV).\n\n"
-                f"FLOPs/2 vs the {n_pub} published rows: median |Δ| "
+                f"FLOPs/2 vs the {n_pub} published rows that follow the "
+                "analytic convention: median |Δ| "
                 f"{med:.2f}%, {n_1pct} within 1%, {n_2pct} within 2%. "
-                f"Largest deltas: {worst}.\n\n")
+                f"Largest deltas: {worst}. A further {n_doc} published "
+                "rows demonstrably do NOT follow their own convention "
+                "(itemized below) and are compared against the exact "
+                "count instead.\n\n"
+                "Known convention mismatches (all architecture-verified "
+                "by exact param matches):\n"
+                "- **ASR (`*_en`/`*_de`/... , dataset mcv, "
+                f"{len(asr)} rows)**: FLOPs scale linearly with audio "
+                "length; our column documents a 1 s / 16 kHz input, the "
+                "published values imply a ~4.6 s utterance (ratio 4.55 "
+                "on every row). Excluded from the statistics above.\n"
+                "- **DIA-ResNet/-PreResNet (-24% at 164bn, -3% at 110)**: "
+                "the published number cannot follow from the "
+                "architecture — the DIA-LSTM runs on globally-pooled "
+                "(B,C) vectors (reference diaresnet.py:134-145, "
+                "~0.5M MACs/net) yet the published value sits ~92M above "
+                "the conv+fc MACs of the param-exact architecture; the "
+                "reference's hook counter evidently charged the LSTM amp "
+                "Linears at pre-pool spatial size. Our value is the "
+                "exact count.\n"
+                "- **DANet (+3.8/+5.2%)**: our count includes the "
+                "position/channel-attention batched matmuls, which are "
+                "functional ops a torch module-hook counter cannot see. "
+                "Our value is the exact count.\n"
+                "- **SimplePose / CenterNet (deconv decoders)**: the "
+                "published values omit ConvTranspose layers entirely "
+                "(simplepose_resnet18_coco's 1,799.25M equals its "
+                "resnet18 backbone at 256x192 + the 1x1 head exactly; "
+                "the three 4x4 deconvs are ~1.1G MACs more). A module-"
+                "hook counter with no ConvTranspose2d hook sees none of "
+                "them. Our value counts them (zero-skipping: "
+                "out x k^2 x Cin / stride^2).\n"
+                "- **SINet (+25.7%)**: our MAC subtotal is within 2.2% "
+                "of the published value — the entire residual is "
+                "elementwise/interpolation work (an extreme-lightweight "
+                "119k-param net running at 2048x1024, where functional "
+                "`F.interpolate`/attention ops a hook counter cannot see "
+                "are a third of the real work).\n"
+                "- **dicenet/igcv3/condensenet-g8/mobilenetv2_wd4 "
+                "(2-3.4%)**: small models where per-element convention "
+                "details (h-sigmoid/shuffle/interp costs) are a visible "
+                "fraction — the published value sits between our MAC "
+                "subtotal and MACs+elementwise on every such row, i.e. "
+                "the residual is elementwise costing, not structure.\n\n")
             f.write(HEADER + "\n")
             for r in rows:
                 f.write(_fmt_row(r) + "\n")
