@@ -43,7 +43,13 @@ __all__ = ["make_serving_fn", "make_asr_serving_fn"]
 _INT8_ROUTES = {
     # classification, int8-storage pipelines
     "resnet": "resnet", "seresnet": "resnet", "resnext": "resnet",
-    "seresnext": "resnet", "senet": "resnet", "wrn": "resnet",
+    # NOTE no "wrn" route: the ImageNet WRN family (wrn.py) is BN-LESS
+    # (reference wrn.py:12 WRNConv = conv+bias+activation, no norm), so
+    # the conv+bn-folding resnet pipeline cannot serve it — caught by
+    # SERVE_FULL r5 (wrn50_2 KeyError batch_stats). Serves bf16 until an
+    # int8 pipeline for bias-conv cells is measured. wrn_cifar (BN-ful,
+    # resnet_cifar-shaped) stays routed.
+    "seresnext": "resnet", "senet": "resnet",
     "resnet_cifar": "resnet", "seresnet_cifar": "resnet",
     "resnext_cifar": "resnet", "wrn_cifar": "resnet",
     "preresnet": "preresnet", "sepreresnet": "preresnet",
