@@ -31,11 +31,18 @@ _EPS = 1e-5
 
 
 def _cell_consts(cell_params, cell_stats):
-    """Fold conv kernel + BN into {wq int8, gain, bias}."""
+    """Fold conv kernel + BN into {wq int8, gain, bias}.
+
+    BN-less cells (the ImageNet WRN family, reference wrn.py:12 —
+    conv + bias, no norm) fold to gain = s_w, bias = conv bias."""
     kernel = cell_params["conv"]["kernel"].astype(jnp.float32)
     s_w = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)),
                       1e-12) / 127.0
     wq = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
+    if "bn" not in cell_params:
+        bias = cell_params["conv"].get(
+            "bias", jnp.zeros((kernel.shape[-1],))).astype(jnp.float32)
+        return {"wq": wq, "gain": s_w, "bias": bias}
     gamma = cell_params["bn"]["scale"].astype(jnp.float32)
     beta = cell_params["bn"]["bias"].astype(jnp.float32)
     mean = cell_stats["bn"]["mean"].astype(jnp.float32)
@@ -117,13 +124,16 @@ def _resolve_conv1_stride(model, conv1_stride):
 
 
 def _quantize_tree(params, stats):
-    """Map every conv+bn cell in the features tree to folded int8 consts;
-    non-cell leaves (SE gate convs, biases) pass through in f32."""
+    """Map every conv cell in the features tree to folded int8 consts;
+    non-cell leaves (SE gate convs, biases) pass through in f32. A cell
+    is {conv: {kernel,...}} with either a sibling bn (resnet families)
+    or a conv bias (BN-less WRN, reference wrn.py:12)."""
     out = {}
     for k, v in params.items():
-        if isinstance(v, dict) and "conv" in v and "kernel" in v["conv"] \
-                and "bn" in v:
-            out[k] = _cell_consts(v, stats[k])
+        if isinstance(v, dict) and "conv" in v \
+                and isinstance(v["conv"], dict) and "kernel" in v["conv"] \
+                and ("bn" in v or "bias" in v["conv"]):
+            out[k] = _cell_consts(v, stats.get(k, {}))
         elif isinstance(v, dict):
             out[k] = _quantize_tree(v, stats.get(k, {}))
         else:
@@ -397,9 +407,10 @@ def prepare_int8_resnet(model, scales: Dict[str, float],
     """
     c1s = _resolve_conv1_stride(model, conv1_stride)
     params = model.variables["params"]
-    stats = model.variables["batch_stats"]
+    # BN-less families (ImageNet WRN) carry no batch_stats collection.
+    stats = model.variables.get("batch_stats", {"features": {}})
     qparams = jax.jit(_quantize_tree)(params["features"],
-                                      stats["features"])
+                                      stats.get("features", {}))
     qparams = {k: dict(v) if isinstance(v, dict) else v
                for k, v in qparams.items()}
     if group_block:
@@ -409,9 +420,12 @@ def prepare_int8_resnet(model, scales: Dict[str, float],
     first = "conv" if "conv" in params["features"]["init_block"] \
         else "conv1"
     stem_p = params["features"]["init_block"][first]
-    stem_s = stats["features"]["init_block"][first]
-    g0 = stem_p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
-        stem_s["bn"]["var"].astype(jnp.float32) + _EPS)
+    if "bn" in stem_p:
+        stem_s = stats["features"]["init_block"][first]
+        g0 = stem_p["bn"]["scale"].astype(jnp.float32) * jax.lax.rsqrt(
+            stem_s["bn"]["var"].astype(jnp.float32) + _EPS)
+    else:
+        g0 = jnp.ones((), jnp.float32)
     qparams = dict(qparams)
     qparams["init_block"] = dict(qparams["init_block"])
     qparams["init_block"][first] = dict(qparams["init_block"][first])

@@ -43,13 +43,12 @@ __all__ = ["make_serving_fn", "make_asr_serving_fn"]
 _INT8_ROUTES = {
     # classification, int8-storage pipelines
     "resnet": "resnet", "seresnet": "resnet", "resnext": "resnet",
-    # NOTE no "wrn" route: the ImageNet WRN family (wrn.py) is BN-LESS
-    # (reference wrn.py:12 WRNConv = conv+bias+activation, no norm), so
-    # the conv+bn-folding resnet pipeline cannot serve it — caught by
-    # SERVE_FULL r5 (wrn50_2 KeyError batch_stats). Serves bf16 until an
-    # int8 pipeline for bias-conv cells is measured. wrn_cifar (BN-ful,
-    # resnet_cifar-shaped) stays routed.
-    "seresnext": "resnet", "senet": "resnet",
+    # "wrn": the ImageNet WRN family is BN-LESS (reference wrn.py:12,
+    # conv+bias+activation, no norm) — SERVE_FULL r5 caught the conv+bn
+    # pipeline crashing on it (KeyError batch_stats); resnet_int8 now
+    # folds BN-less cells (gain=s_w, bias=conv bias) and wrn50_2
+    # measures 13.4k int8 vs 6.9k bf16 img/s (1.93x, batch 256).
+    "seresnext": "resnet", "senet": "resnet", "wrn": "resnet",
     "resnet_cifar": "resnet", "seresnet_cifar": "resnet",
     "resnext_cifar": "resnet", "wrn_cifar": "resnet",
     "preresnet": "preresnet", "sepreresnet": "preresnet",

@@ -315,6 +315,21 @@ class TestResnetInt8Pipeline:
         cos, agree = _agreement(y12, yf)
         assert cos > 0.99 and agree == 1.0, (cos, agree)
 
+    def test_bnless_wrn(self):
+        """BN-less cells (ImageNet WRN, reference wrn.py:12 — conv+bias,
+        no norm) fold as gain=s_w / bias=conv-bias; SERVE_FULL r5 caught
+        the old pipeline crashing on the absent batch_stats collection.
+        Measured on v5e: wrn50_2 13.4k int8 vs 6.9k bf16 img/s (1.93x)."""
+        model = ptc.get_model("wrn50_2", in_size=(64, 64))
+        calib = [jax.random.uniform(jax.random.PRNGKey(0), (4, 64, 64, 3))]
+        scales = calibrate_int8(model, calib)
+        fn, qtree = prepare_int8_resnet(model, scales)
+        x = jax.random.uniform(jax.random.PRNGKey(9), (4, 64, 64, 3))
+        y8 = jax.jit(fn)(qtree, x)
+        yf = model(x)
+        cos, agree = _agreement(y8, yf)
+        assert cos > 0.95 and agree == 1.0, (cos, agree)
+
 
 class TestPreResnetInt8Pipeline:
     @pytest.mark.parametrize("name", ["preresnet18", "preresnet50",

@@ -107,9 +107,10 @@ _FAST_CASES = [
     # mis-served)
     ("resnet20_cifar10", "classification"),
     ("fractalnet_cifar10", "classification"),
-    # regression: BN-less ImageNet WRN must NOT take the conv+bn-folding
-    # int8 resnet route (SERVE_FULL r5: wrn50_2 KeyError batch_stats);
-    # wrn16_10_cifar10 (BN-ful) stays int8-routed
+    # regression: BN-less ImageNet WRN crashed the conv+bn-folding int8
+    # route (SERVE_FULL r5: KeyError batch_stats); the pipeline now folds
+    # BN-less cells (1.93x vs bf16 measured) — this case keeps the whole
+    # int8 path + faithfulness assertion on a BN-less tree
     ("wrn50_2", "classification"),
     ("fcn8sd_resnetd50b_voc", "segmentation"),
     ("simplepose_resnet18_coco", "pose"),
